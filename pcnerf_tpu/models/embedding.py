@@ -1,0 +1,43 @@
+"""Sinusoidal positional embedding.
+
+Reference: ``nof/networks/models.py:4-41`` (class ``Embedding``).  The output
+layout is [x, sin(f0*x), cos(f0*x), sin(f1*x), cos(f1*x), ...] with
+``f_k = 2**k`` for logscale (``2**linspace(0, N-1, N)``), giving
+3 + 3*2*N_freq channels (63 for N_freq=10).
+
+Implemented as a single fused computation: one (B, 3, N_freq) broadcast
+multiply + sin/cos, then a reshape — no Python loop over frequency bands, so
+XLA fuses it straight into the first matmul's operand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def embedding_dim(n_freq: int, in_channels: int = 3) -> int:
+    return in_channels + in_channels * 2 * n_freq
+
+
+def freq_bands(n_freq: int, logscale: bool = True) -> np.ndarray:
+    if logscale:
+        return 2.0 ** np.linspace(0.0, n_freq - 1, n_freq)
+    return np.linspace(1.0, 3.0 ** (n_freq - 1), n_freq)
+
+
+def embed_positions(x: jnp.ndarray, n_freq: int, logscale: bool = True) -> jnp.ndarray:
+    """Embed (..., 3) positions to (..., 3 + 6*n_freq).
+
+    Channel order matches the reference exactly: the raw position first, then
+    per frequency band a sin block and a cos block (each 3 channels).
+    """
+    bands = jnp.asarray(freq_bands(n_freq, logscale), dtype=x.dtype)
+    # (..., n_freq, 3): scaled coordinates per band
+    scaled = x[..., None, :] * bands[:, None]
+    sin = jnp.sin(scaled)
+    cos = jnp.cos(scaled)
+    # interleave per band: [sin_k (3), cos_k (3)] for k = 0..n_freq-1
+    sc = jnp.concatenate([sin[..., None, :], cos[..., None, :]], axis=-2)
+    sc = sc.reshape(*x.shape[:-1], 2 * n_freq * x.shape[-1])
+    return jnp.concatenate([x, sc], axis=-1)

@@ -1,0 +1,204 @@
+"""NOF occupancy MLP family, functional-JAX edition.
+
+Reference: ``nof/networks/models.py:44-359``.  The four reference classes
+(``NOF``, ``NOF_coarse``, ``NOF_fine``, ``NOF_plusfine``) are byte-identical;
+here they are one parameterization — a coarse/fine pair is simply two
+parameter pytrees.
+
+Reproduced topology — including the reference's construction quirks:
+
+- layer1: 4 x (Linear -> BatchNorm1d -> LeakyReLU(negative_slope)), then the
+  four *stray* LeakyReLUs that the reference's layer2 loop appends to layer1
+  (models.py:92,172,252,331);
+- skip concat of the embedded input (models.py:116-117);
+- layer2: 4 x (Linear -> BatchNorm1d) with NO activation in between — the
+  activations intended for layer2 went to layer1;
+- head: Linear(256 -> 1) + Sigmoid.
+
+Critically, the reference writes ``nn.LeakyReLU(True)``: the positional arg is
+``negative_slope``, so slope == 1.0 and every activation above is the
+*identity*.  ``ModelConfig.negative_slope`` defaults to 1.0 to preserve this;
+any other value restores a real LeakyReLU in the same positions.
+
+Parameters are a plain pytree::
+
+    params = {"layers": [{"w": (din, dout), "b": (dout,),
+                          "scale": (dout,), "bias": (dout,)} * 8],
+              "head": {"w": (256, 1), "b": (1,)}}
+    bn_state = {"mean": [(dout,) * 8], "var": [(dout,) * 8]}
+
+Initialization matches torch defaults (kaiming-uniform a=sqrt(5) == U(+-1/
+sqrt(fan_in)) for Linear, ones/zeros for BatchNorm) so distributional parity
+with the reference holds at step 0.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcnerf_tpu.config import ModelConfig
+
+
+def _linear_init(key, fan_in: int, fan_out: int):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound)
+    return w, b
+
+
+def init_nof(key, cfg: ModelConfig):
+    """Initialize (params, bn_state) for one NOF MLP."""
+    d_in = cfg.in_channels
+    f = cfg.feature_size
+    widths = [(d_in, f)] + [(f, f)] * 3 + [(d_in + f if cfg.use_skip else f, f)] + [(f, f)] * 3
+    keys = jax.random.split(key, len(widths) + 1)
+    layers = []
+    for k, (din, dout) in zip(keys[:-1], widths):
+        w, b = _linear_init(k, din, dout)
+        layers.append({
+            "w": w, "b": b,
+            "scale": jnp.ones((dout,), jnp.float32),
+            "bias": jnp.zeros((dout,), jnp.float32),
+        })
+    hw, hb = _linear_init(keys[-1], f, 1)
+    params = {"layers": layers, "head": {"w": hw, "b": hb}}
+    bn_state = {
+        "mean": [jnp.zeros((f,), jnp.float32) for _ in widths],
+        "var": [jnp.ones((f,), jnp.float32) for _ in widths],
+    }
+    return params, bn_state
+
+
+def _dot(x, w, compute_dtype):
+    if compute_dtype == "bfloat16":
+        return jax.lax.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    return jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _leaky(x, slope):
+    # slope == 1.0 (the reference default) is the identity; skip the select so
+    # XLA emits nothing at all for the quirk activations.
+    if slope == 1.0:
+        return x
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *, axis_name: str | None = None):
+    """Training-mode forward: BatchNorm uses batch statistics.
+
+    Statistics are computed over the full flattened (rays*samples) batch in
+    one pass — the reference computes them per 262144-point chunk
+    (``nof/render.py:46-49``); with the shipped configs the coarse pass is a
+    single chunk and the fine pass three, so this is a documented, tolerance-
+    level deviation (see tests/test_model_parity.py).
+
+    If ``axis_name`` is given, batch statistics are all-reduced over that mesh
+    axis (synchronized BatchNorm across data-parallel shards), keeping the
+    multi-chip run statistically identical to single-chip.
+
+    Returns (occupancy (B,), new_bn_state).
+    """
+    eps, mom = cfg.bn_eps, cfg.bn_momentum
+    h = x
+    new_mean, new_var = [], []
+
+    def bn_train(i, y):
+        m = y.mean(axis=0)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        d = y - m
+        v = (d * d).mean(axis=0)
+        if axis_name is not None:
+            v = jax.lax.pmean(v, axis_name)
+        if axis_name is not None:
+            n = y.shape[0] * jax.lax.psum(1, axis_name)
+            unbiased = v * (n / jnp.maximum(n - 1, 1))
+        else:
+            n = y.shape[0]
+            unbiased = v * (n / max(n - 1, 1))
+        new_mean.append((1 - mom) * bn_state["mean"][i] + mom * m)
+        new_var.append((1 - mom) * bn_state["var"][i] + mom * unbiased)
+        inv = jax.lax.rsqrt(v + eps)
+        return d * inv * params["layers"][i]["scale"] + params["layers"][i]["bias"]
+
+    for i in range(4):
+        lyr = params["layers"][i]
+        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
+        h = bn_train(i, h)
+        h = _leaky(h, cfg.negative_slope)
+    # stray activations appended to layer1 during layer2 construction
+    for _ in range(4):
+        h = _leaky(h, cfg.negative_slope)
+    if cfg.use_skip:
+        h = jnp.concatenate([x, h], axis=-1)
+    for i in range(4, 8):
+        lyr = params["layers"][i]
+        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
+        h = bn_train(i, h)  # no activation: reference layer2 has none
+    logits = _dot(h, params["head"]["w"], cfg.compute_dtype) + params["head"]["b"]
+    occ = jax.nn.sigmoid(logits)[..., 0]
+    return occ, {"mean": new_mean, "var": new_var}
+
+
+def nof_apply(params, bn_state, x, cfg: ModelConfig):
+    """Eval-mode forward: BatchNorm uses running statistics."""
+    eps = cfg.bn_eps
+    h = x
+    for i in range(4):
+        lyr = params["layers"][i]
+        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
+        inv = jax.lax.rsqrt(bn_state["var"][i] + eps)
+        h = (h - bn_state["mean"][i]) * inv * lyr["scale"] + lyr["bias"]
+        h = _leaky(h, cfg.negative_slope)
+    for _ in range(4):
+        h = _leaky(h, cfg.negative_slope)
+    if cfg.use_skip:
+        h = jnp.concatenate([x, h], axis=-1)
+    for i in range(4, 8):
+        lyr = params["layers"][i]
+        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
+        inv = jax.lax.rsqrt(bn_state["var"][i] + eps)
+        h = (h - bn_state["mean"][i]) * inv * lyr["scale"] + lyr["bias"]
+    logits = _dot(h, params["head"]["w"], cfg.compute_dtype) + params["head"]["b"]
+    return jax.nn.sigmoid(logits)[..., 0]
+
+
+def fold_batchnorm(params, bn_state, cfg: ModelConfig):
+    """Fold eval-mode BatchNorm into the Linear weights.
+
+    In eval mode BN is affine, so each (Linear, BN) pair collapses to a single
+    Linear with W' = W * g, b' = (b - mean) * g + bias where
+    g = scale / sqrt(var + eps).  The folded form is what the Pallas fused
+    inference kernel consumes: 9 plain matmuls, weights resident in VMEM.
+    """
+    eps = cfg.bn_eps
+    folded = []
+    for i, lyr in enumerate(params["layers"]):
+        g = lyr["scale"] / jnp.sqrt(bn_state["var"][i] + eps)
+        folded.append({
+            "w": lyr["w"] * g[None, :],
+            "b": (lyr["b"] - bn_state["mean"][i]) * g + lyr["bias"],
+        })
+    return {"layers": folded, "head": dict(params["head"])}
+
+
+def nof_apply_folded(folded, x, cfg: ModelConfig):
+    """Eval forward on BN-folded params (the XLA twin of the Pallas kernel)."""
+    h = x
+    for i in range(4):
+        lyr = folded["layers"][i]
+        h = _leaky(_dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"], cfg.negative_slope)
+    for _ in range(4):
+        h = _leaky(h, cfg.negative_slope)
+    if cfg.use_skip:
+        h = jnp.concatenate([x, h], axis=-1)
+    for i in range(4, 8):
+        lyr = folded["layers"][i]
+        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
+    logits = _dot(h, folded["head"]["w"], cfg.compute_dtype) + folded["head"]["b"]
+    return jax.nn.sigmoid(logits)[..., 0]

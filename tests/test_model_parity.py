@@ -1,0 +1,110 @@
+"""Forward + gradient parity of the JAX NOF MLP vs. the frozen torch oracle.
+
+Verifies the reference's quirky topology is reproduced exactly: identity
+activations (LeakyReLU slope 1.0), stray layer1 activations, activation-free
+layer2, batch-stat vs running-stat BatchNorm, and the embedding layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from pcnerf_tpu.config import ModelConfig
+from pcnerf_tpu.models import (
+    embed_positions,
+    fold_batchnorm,
+    init_nof,
+    nof_apply,
+    nof_apply_folded,
+    nof_apply_train,
+)
+from tests import oracle
+
+CFG = ModelConfig()
+
+
+def _setup(batch=512, seed=0):
+    key = jax.random.PRNGKey(seed)
+    params, bn = init_nof(key, CFG)
+    x = np.random.default_rng(seed).normal(size=(batch, 3)).astype(np.float32)
+    emb_j = embed_positions(jnp.asarray(x), CFG.n_freq)
+    emb_t = oracle.embed(torch.tensor(x), CFG.n_freq)
+    np.testing.assert_allclose(np.asarray(emb_j), emb_t.numpy(), atol=1e-5)
+    return params, bn, emb_j, emb_t
+
+
+def test_embedding_layout():
+    _setup(batch=16)
+
+
+def test_eval_forward_parity():
+    params, bn, emb_j, emb_t = _setup()
+    # randomize running stats so eval-mode BN is non-trivial
+    rng = np.random.default_rng(1)
+    bn = {
+        "mean": [jnp.asarray(rng.normal(0, 0.3, m.shape).astype(np.float32))
+                 for m in bn["mean"]],
+        "var": [jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+                for v in bn["var"]],
+    }
+    tp = oracle.make_torch_params(params, bn)
+    occ_j = np.asarray(nof_apply(params, bn, emb_j, CFG))
+    occ_t = oracle.nof_forward(tp, emb_t, training=False).detach().numpy()
+    np.testing.assert_allclose(occ_j, occ_t, atol=2e-6)
+
+
+def test_train_forward_and_grad_parity():
+    params, bn, emb_j, emb_t = _setup()
+    tp = oracle.make_torch_params(params, bn)
+
+    def loss_fn(p):
+        occ, _ = nof_apply_train(p, bn, emb_j, CFG)
+        return jnp.sum(occ * occ)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+
+    occ_t = oracle.nof_forward(tp, emb_t, training=True)
+    loss_t = (occ_t * occ_t).sum()
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+    for i in (0, 3, 4, 7):
+        np.testing.assert_allclose(
+            np.asarray(grads["layers"][i]["w"]),
+            tp["layers"][i]["w"].grad.numpy(), atol=2e-4,
+            err_msg=f"layer {i} weight grad mismatch")
+        np.testing.assert_allclose(
+            np.asarray(grads["layers"][i]["scale"]),
+            tp["layers"][i]["scale"].grad.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(grads["head"]["w"]), tp["head"]["w"].grad.numpy(), atol=2e-4)
+
+
+def test_bn_running_stats_update():
+    params, bn, emb_j, _ = _setup(batch=256)
+    _, new_bn = nof_apply_train(params, bn, emb_j, CFG)
+    # running = (1-m)*old + m*unbiased_batch_var with torch momentum 0.1
+    h = np.asarray(emb_j) @ np.asarray(params["layers"][0]["w"]) + np.asarray(
+        params["layers"][0]["b"])
+    m = h.mean(0)
+    v = h.var(0, ddof=1)
+    np.testing.assert_allclose(np.asarray(new_bn["mean"][0]), 0.9 * 0 + 0.1 * m,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_bn["var"][0]),
+                               0.9 * 1 + 0.1 * v, rtol=1e-4)
+
+
+def test_folded_matches_eval():
+    params, bn, emb_j, _ = _setup()
+    rng = np.random.default_rng(2)
+    bn = {
+        "mean": [jnp.asarray(rng.normal(0, 0.3, m.shape).astype(np.float32))
+                 for m in bn["mean"]],
+        "var": [jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+                for v in bn["var"]],
+    }
+    folded = fold_batchnorm(params, bn, CFG)
+    occ_eval = np.asarray(nof_apply(params, bn, emb_j, CFG))
+    occ_fold = np.asarray(nof_apply_folded(folded, emb_j, CFG))
+    np.testing.assert_allclose(occ_fold, occ_eval, atol=3e-6)

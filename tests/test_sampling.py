@@ -1,0 +1,81 @@
+"""Sampling kernels vs. reference-semantics oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from pcnerf_tpu.ops import compositing as C
+from pcnerf_tpu.ops import sampling as S
+from tests import oracle
+
+
+def test_stratified_matches_linspace():
+    near = jnp.asarray([0.0, 1.0, 2.5])
+    far = jnp.asarray([10.0, 5.0, 3.5])
+    z = np.asarray(S.stratified_z(near, far, 8))
+    for i in range(3):
+        np.testing.assert_allclose(
+            z[i], np.linspace(float(near[i]), float(far[i]), 8), rtol=1e-6)
+
+
+def test_segmented_sampling_counts_and_sorted():
+    rng = np.random.default_rng(0)
+    n = 16
+    near = jnp.zeros(n)
+    far = jnp.full((n,), 50.0)
+    nc = jnp.asarray(rng.uniform(5, 20, n).astype(np.float32))
+    fc = nc + jnp.asarray(rng.uniform(1, 5, n).astype(np.float32))
+    z = np.asarray(S.segmented_z(near, far, nc, fc, 100, 0.1))
+    assert z.shape == (n, 100)
+    assert (np.diff(z, axis=-1) >= 0).all()
+    # int(100*0.9)=90 parent + 10 child samples; child ones inside [nc, fc]
+    for i in range(n):
+        inside = ((z[i] >= float(nc[i]) - 1e-5) & (z[i] <= float(fc[i]) + 1e-5)).sum()
+        assert inside >= 10
+
+
+def test_perturb_stays_within_strata():
+    near = jnp.zeros(4)
+    far = jnp.full((4,), 1.0)
+    z = S.stratified_z(near, far, 32)
+    zp = np.asarray(S.perturb_z(jax.random.PRNGKey(0), z, 1.0))
+    z = np.asarray(z)
+    mids = 0.5 * (z[:, :-1] + z[:, 1:])
+    lower = np.concatenate([z[:, :1], mids], -1)
+    upper = np.concatenate([mids, z[:, -1:]], -1)
+    assert (zp >= lower - 1e-7).all() and (zp <= upper + 1e-7).all()
+
+
+def test_sample_pdf_deterministic_parity():
+    rng = np.random.default_rng(3)
+    r, m = 32, 63
+    bins = np.sort(rng.uniform(0, 50, (r, m)).astype(np.float32), axis=-1)
+    w = rng.uniform(0, 1, (r, m - 1)).astype(np.float32)
+    got = np.asarray(S.sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
+                                  jnp.asarray(w), 128, det=True))
+    want = oracle.sample_pdf_det(torch.tensor(bins), torch.tensor(w), 128).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gamma_mask_closed_form_vs_loop():
+    rng = np.random.default_rng(4)
+    r, s = 64, 96
+    z = np.sort(rng.uniform(0, 60, (r, s)).astype(np.float32), axis=-1)
+    nc = rng.uniform(0, 55, r).astype(np.float32)
+    fc = nc + rng.uniform(0.01, 3.0, r).astype(np.float32)
+    # include rays whose interval contains no sample (forces expansion)
+    nc[:8] = 70.0
+    fc[:8] = 70.5
+
+    for gamma0, strict in [(0.0, False), (2.0, False), (0.01, True)]:
+        got, _ = C.child_mask(jnp.asarray(z), jnp.asarray(nc), jnp.asarray(fc),
+                              gamma0=gamma0, strict=strict)
+        want = oracle.gamma_mask_loop(torch.tensor(z), torch.tensor(nc),
+                                      torch.tensor(fc), gamma0, strict=strict)
+        got = np.asarray(got)
+        # the loop accumulates 0.01 in float; allow <=1 sample differences on
+        # exact boundary ties, but require every ray to have >=1 inside sample
+        mismatch = (got != want.numpy()).sum(axis=-1)
+        assert (mismatch <= 1).all(), f"gamma0={gamma0}: {mismatch.max()}"
+        assert (got.sum(axis=-1) >= 1).all()
