@@ -1,0 +1,229 @@
+"""Batched one/two-step depth inference engine — fully on device.
+
+Reference: ``inference_0525_2`` + ``render_rays_view_0525_2_2``
+(``nof/render.py:229-368, 614-699``).  The reference's per-ray CPU round
+trips (scipy ``gaussian_filter`` per ray at :302-307, Python group walks at
+:317-340, per-ray point reconstruction at :674-684) are re-derived as one
+jitted XLA program:
+
+- Gaussian smoothing of the weight rows = a single depthwise convolution
+  with scipy's exact sigma=5 kernel (radius = int(4*sigma + 0.5), reflect
+  padding);
+- the sequential candidate-group walk = segment reductions over group ids:
+  "first row whose smoothed argmax falls inside its child mask, else the
+  first row of maximal in-child weight mass" (render.py:317-340);
+- child masks use the closed-form strict gamma expansion (gamma0 = 0.01).
+
+Batch rows are padded to a static shape; padding rows form singleton groups
+marked invalid.  BatchNorm is folded into the Linear weights (eval mode), so
+the MLP is 9 matmuls with VMEM-resident weights; sample points are processed
+in ray-chunks via ``lax.map`` to bound activation memory (the reference's
+``chunk`` flag, render.py:236-239, now an internal tiling detail).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pcnerf_tpu.config import EvalConfig, ModelConfig
+from pcnerf_tpu.models import embed_positions, nof_apply_folded
+from pcnerf_tpu.ops import compositing as C
+from pcnerf_tpu.ops import sampling as S
+
+
+def scipy_gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage's order-0 gaussian kernel, bit-for-bit."""
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    phi = np.exp(-0.5 / (sigma * sigma) * x * x)
+    return (phi / phi.sum()).astype(np.float32)
+
+
+def _smooth_rows(w, kernel):
+    """Per-row 1-D convolution with reflect padding (scipy 'reflect')."""
+    r = (kernel.shape[0] - 1) // 2
+    left = w[:, :r][:, ::-1]
+    right = w[:, -r:][:, ::-1]
+    padded = jnp.concatenate([left, w, right], axis=-1)[:, None, :]
+    out = jax.lax.conv_general_dilated(
+        padded, kernel[None, None, :], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[:, 0, :]
+
+
+def _occupancy_chunked(folded, origins, dirs, z_vals, mcfg: ModelConfig,
+                       ray_chunk: int):
+    """(R, S) occupancy via lax.map over ray chunks (bounded activations)."""
+    R, Ns = z_vals.shape
+
+    def one_chunk(args):
+        o, d, z = args
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        emb = embed_positions(pts.reshape(-1, 3), mcfg.n_freq, mcfg.logscale)
+        return nof_apply_folded(folded, emb, mcfg).reshape(z.shape)
+
+    n_chunks = R // ray_chunk
+    o = origins.reshape(n_chunks, ray_chunk, 3)
+    d = dirs.reshape(n_chunks, ray_chunk, 3)
+    z = z_vals.reshape(n_chunks, ray_chunk, Ns)
+    occ = jax.lax.map(one_chunk, (o, d, z))
+    return occ.reshape(R, Ns)
+
+
+def _pass(folded, origins, dirs, z_vals, near_c, far_c, seg_id, n_groups,
+          valid, kernel, mcfg, epsilon, method, ray_chunk):
+    """One coarse-or-fine pass: occupancy -> weights -> peak select -> depth.
+
+    Returns (depth, weights, flag) — the ``inference_0525_2`` triple.
+    """
+    occ = _occupancy_chunked(folded, origins, dirs, z_vals, mcfg, ray_chunk)
+    w = C.occupancy_to_weights(occ)
+    w = C.normalize_weights(w, epsilon)
+
+    mask_child, _ = C.child_mask(z_vals, near_c, far_c, gamma0=0.01,
+                                 strict=True)
+
+    # peak search (render.py:302-340)
+    smoothed = _smooth_rows(w, kernel)
+    peak_idx = jnp.argmax(smoothed, axis=-1)
+    peak_in_child = jnp.take_along_axis(
+        mask_child, peak_idx[:, None], axis=-1)[:, 0] & valid
+    mass = jnp.where(valid, jnp.sum(w * mask_child, axis=-1), -jnp.inf)
+
+    n_rows = w.shape[0]
+    row = jnp.arange(n_rows)
+    big = jnp.int32(n_rows + 1)
+    # first row in each group whose peak lies inside its child interval
+    peak_row = jax.ops.segment_min(jnp.where(peak_in_child, row, big), seg_id,
+                                   num_segments=n_groups)
+    has_peak = peak_row < big
+    # else: first row of maximal child weight mass (strict-greater update ==
+    # earliest argmax, render.py:334-336)
+    gmax = jax.ops.segment_max(mass, seg_id, num_segments=n_groups)
+    is_max = mass == gmax[seg_id]
+    max_row = jax.ops.segment_min(jnp.where(is_max, row, big), seg_id,
+                                  num_segments=n_groups)
+    sel = jnp.where(has_peak, peak_row, max_row)
+    flag = (row == sel[seg_id]) & valid
+
+    if method == 2:
+        w_child = w * mask_child.astype(w.dtype)
+        w_child = w_child / (jnp.sum(w_child, -1, keepdims=True) + epsilon)
+        depth = jnp.sum(w_child * z_vals, axis=-1)
+    else:
+        depth = jnp.sum(w * z_vals, axis=-1)
+    return depth, w, flag
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "n_samples", "n_importance", "method",
+                     "n_groups", "ray_chunk"))
+def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
+                *, mcfg: ModelConfig, n_samples: int, n_importance: int,
+                method: int, n_groups: int, ray_chunk: int = 64):
+    """Full coarse->importance->fine inference over one padded batch.
+
+    rays: (B, 13) test-ray rows (see eval/testrays.py layout);
+    seg_id: (B,) group ids; valid: (B,) real-row mask.
+    Returns (points_fine (B,3), flag_fine (B,), depth_fine, depth_coarse).
+    """
+    origins, dirs = rays[:, 0:3], rays[:, 3:6]
+    near_c, far_c = rays[:, 6], rays[:, 7]
+    near_p, far_p = rays[:, 9], rays[:, 10]
+    epsilon = 1e-10
+
+    z = S.stratified_z(near_p, far_p, n_samples)
+    depth_c, w_c, _ = _pass(folded_coarse, origins, dirs, z, near_c, far_c,
+                            seg_id, n_groups, valid, kernel, mcfg, epsilon,
+                            method, ray_chunk)
+
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    z_new = S.sample_pdf(jax.random.PRNGKey(0), mids, w_c[..., 1:-1],
+                         n_importance, det=True)
+    z_fine = S.merge_sorted(z, z_new)
+
+    depth_f, _, flag_f = _pass(folded_fine, origins, dirs, z_fine, near_c,
+                               far_c, seg_id, n_groups, valid, kernel, mcfg,
+                               epsilon, method, ray_chunk)
+    points_f = origins + depth_f[:, None] * dirs
+    return points_f, flag_f, depth_f, depth_c
+
+
+class GroupBatcher(NamedTuple):
+    """Group-aware batch slicing (eval_kitti_render.py:1116-1136): extend the
+    nominal batch until the current group's trailing -1 markers are included,
+    then pad to a static shape."""
+
+    rays: np.ndarray
+    counts: np.ndarray  # other_interest (first row = groupsize-1)
+
+    def batches(self, batch_size: int, pad_to: int):
+        n = self.rays.shape[0]
+        markers = self.rays[:, 12]
+        i = 0
+        while i < n:
+            if i == n - 1:
+                break
+            if i + batch_size < n - 0.5 * batch_size:
+                e = i + batch_size
+                while e < n and markers[e] < -0.5:
+                    e += 1
+            else:
+                e = n
+            yield self._pad(self.rays[i:e], pad_to)
+            i = e
+
+    @staticmethod
+    def _pad(rows: np.ndarray, pad_to: int):
+        b = rows.shape[0]
+        assert b <= pad_to, f"batch {b} exceeds pad size {pad_to}"
+        markers = rows[:, 12]
+        seg = np.cumsum(markers > -0.5) - 1   # group starts have marker >= 0
+        seg = np.maximum(seg, 0)
+        n_real_groups = int(seg[-1]) + 1 if b else 0
+        pad = pad_to - b
+        rays_p = np.zeros((pad_to, rows.shape[1]), np.float32)
+        rays_p[:b] = rows
+        rays_p[b:, 7] = 1.0   # benign child interval for padding rows
+        rays_p[b:, 10] = 2.0  # parent far > near
+        seg_p = np.concatenate([seg, n_real_groups + np.arange(pad)])
+        valid = np.zeros(pad_to, bool)
+        valid[:b] = True
+        return rays_p, seg_p.astype(np.int32), valid, b
+
+
+def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
+                  rays: np.ndarray, counts: np.ndarray, *, verbose=False):
+    """Drive all batches of one frame; returns kept fine points (M, 3)."""
+    mcfg = eval_cfg.model
+    kernel = jnp.asarray(scipy_gaussian_kernel1d(eval_cfg.smooth_sigma))
+    bs = eval_cfg.batch_size
+    # static padded size: the reference's tail batch can reach 1.5x the
+    # nominal size (eval_kitti_render.py:1120 takes all remaining rows when
+    # fewer than 1.5 batches remain), plus group-overflow slack; rounded to
+    # the ray-chunk multiple so lax.map tiles evenly
+    pad_to = -(-int(1.5 * bs + 1024) // 64) * 64
+    batcher = GroupBatcher(rays, counts)
+    kept = []
+    for rays_p, seg, valid, n_real in batcher.batches(bs, pad_to):
+        pts, flag, _, _ = infer_batch(
+            jax.tree.map(jnp.asarray, folded_coarse),
+            jax.tree.map(jnp.asarray, folded_fine),
+            jnp.asarray(rays_p), jnp.asarray(seg), jnp.asarray(valid), kernel,
+            mcfg=mcfg, n_samples=eval_cfg.n_samples,
+            n_importance=eval_cfg.n_importance,
+            method=eval_cfg.depth_inference_method, n_groups=pad_to)
+        pts = np.asarray(pts)[:n_real]
+        flag = np.asarray(flag)[:n_real]
+        kept.append(pts[flag])
+        if verbose:
+            print(f"[infer] batch {n_real} rows -> {int(flag.sum())} kept",
+                  flush=True)
+    return np.concatenate(kept, axis=0) if kept else np.zeros((0, 3), np.float32)

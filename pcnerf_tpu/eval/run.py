@@ -1,0 +1,105 @@
+"""Evaluation driver: render reconstructed point clouds for every test frame.
+
+Reference: ``eval_kitti_render.py:884-1179`` (__main__).  Per test frame:
+load (or rebuild with ``--create-test-data``) the grouped test rays, run the
+batched on-device inference engine, keep the flagged effective rays, write
+``{pcd_path}{frame}_{two|one}_step.pcd``.
+
+    python -m pcnerf_tpu.eval.run --preset kitti00 --ckpt logs/.../checkpoints/best \
+        --method 2 --out logs/kitti00/render_result
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from pcnerf_tpu.config import EvalConfig
+from pcnerf_tpu.data.pcd_io import write_pcd
+from pcnerf_tpu.eval.engine import run_inference
+from pcnerf_tpu.eval.testrays import build_test_rays
+from pcnerf_tpu.models import fold_batchnorm
+from pcnerf_tpu.presets import kitti00_eval, maicity00_eval
+from pcnerf_tpu.utils.ckpt import restore
+
+
+def load_folded_models(ckpt_path: str, eval_cfg: EvalConfig):
+    """Load a TrainState checkpoint and fold BN for eval."""
+    from pcnerf_tpu.train.system import init_train_state
+    from pcnerf_tpu.config import TrainConfig
+    import dataclasses
+    tmpl_cfg = TrainConfig(model=eval_cfg.model,
+                           loss=dataclasses.replace(
+                               TrainConfig().loss,
+                               sub_nerf_count=eval_cfg.data.sub_nerf_count))
+    tmpl = init_train_state(jax.random.PRNGKey(0), tmpl_cfg)
+    state = restore(ckpt_path, tmpl)
+    fc = fold_batchnorm(state.params["coarse"], state.bn["coarse"],
+                        eval_cfg.model)
+    ff = fold_batchnorm(state.params["fine"], state.bn["fine"],
+                        eval_cfg.model)
+    return fc, ff
+
+
+def load_test_rays(cfg: EvalConfig, frame: int, *, create: bool):
+    sub = "two_step" if cfg.depth_inference_method == 2 else "one_step"
+    d = os.path.join(cfg.data.result_path, sub, f"{frame}pcd",
+                     "childnerf_ray_intersect")
+    if not create and os.path.exists(os.path.join(d, "all_rays_child.npy")):
+        rays = np.load(os.path.join(d, "all_rays_child.npy"))
+        counts = np.load(os.path.join(d, "other_interest_sub_nerf_number_child.npy"))
+        return rays.astype(np.float32), counts
+    rays, _, counts, _, _, _ = build_test_rays(
+        cfg.data, frame, depth_inference_method=cfg.depth_inference_method,
+        result_path=cfg.data.result_path)
+    return rays, counts
+
+
+def evaluate(cfg: EvalConfig, ckpt_path: str, out_prefix: str, *,
+             create_test_data: bool = False, verbose: bool = True):
+    fc, ff = load_folded_models(ckpt_path, cfg)
+    suffix = "two_step" if cfg.depth_inference_method == 2 else "one_step"
+    times = {}
+    for j in range(cfg.data.data_start, cfg.data.data_end):
+        if not cfg.data.split.is_test_frame(j, cfg.data.data_start):
+            continue
+        frame = j + 1
+        t0 = time.time()
+        rays, counts = load_test_rays(cfg, frame, create=create_test_data)
+        points = run_inference(cfg, fc, ff, rays, counts, verbose=False)
+        out = f"{out_prefix}{frame}_{suffix}.pcd"
+        write_pcd(out, points)
+        times[frame] = time.time() - t0
+        if verbose:
+            print(f"[eval] frame {frame}: {rays.shape[0]} rows -> "
+                  f"{points.shape[0]} points in {times[frame]:.1f}s -> {out}",
+                  flush=True)
+    return times
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=["kitti00", "maicity00"], required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--method", type=int, default=2, choices=[1, 2])
+    p.add_argument("--sparsity", default="20")
+    p.add_argument("--out-prefix", required=True,
+                   help="e.g. logs/.../render_result/infer/version_1_")
+    p.add_argument("--create-test-data", action="store_true")
+    a = p.parse_args()
+    cfg = (kitti00_eval if a.preset == "kitti00" else maicity00_eval)(
+        method=a.method, sparsity=a.sparsity)
+    os.makedirs(os.path.dirname(a.out_prefix) or ".", exist_ok=True)
+    times = evaluate(cfg, a.ckpt, a.out_prefix,
+                     create_test_data=a.create_test_data)
+    print(json.dumps({"frame_seconds": times}))
+
+
+if __name__ == "__main__":
+    main()

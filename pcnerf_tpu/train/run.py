@@ -1,0 +1,44 @@
+"""Training CLI: ``python -m pcnerf_tpu.train.run --preset kitti00_pcnerf``.
+
+The ``train_kitti.py __main__`` equivalent; flag surface reduced to preset +
+overrides (the full ~55-flag surface of ``nof_utils.get_opts`` lives in the
+typed configs, see pcnerf_tpu/config.py and presets.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from pcnerf_tpu.presets import PRESETS
+from pcnerf_tpu.train.loop import fit
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", choices=sorted(PRESETS), required=True)
+    p.add_argument("--sparsity", default="20")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--out", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--warm-start", default=None,
+                   help="reference .ckpt for prefix-filtered warm start")
+    p.add_argument("--rebuild-data", action="store_true")
+    p.add_argument("--skip-sanity-val", action="store_true")
+    a = p.parse_args()
+
+    cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
+    if a.epochs is not None:
+        cfg = dataclasses.replace(cfg, num_epochs=a.epochs)
+    if a.batch_size is not None:
+        cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
+    fit(cfg, out_dir=a.out, rebuild_data=a.rebuild_data,
+        warm_start=a.warm_start, max_steps=a.max_steps,
+        skip_sanity_val=a.skip_sanity_val)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Training observability: metric logging + the reference's loss-curve files.
+
+Replaces TensorBoardLogger + the seven per-5-step ``ploty*.npy`` curves
+(``train_kitti.py:164-204``, SURVEY.md section 5): metrics are kept as device
+scalars during the epoch (zero host syncs in the hot loop — critical on a
+tunneled accelerator), flushed in bulk at save points to JSONL, optional
+TensorBoard, and reference-layout ``ploty*`` npy files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+
+_CURVE_KEYS = [
+    ("loss", "ploty1"),
+    ("loss_range", "ploty1_range"),
+    ("loss_range_fine", "ploty1_range_fine"),
+    ("child_free_loss", "ploty1_child_free"),
+    ("child_free_loss_fine", "ploty1_child_free_fine"),
+    ("child_depth_loss", "ploty1_child_depth"),
+    ("child_depth_loss_fine", "ploty1_child_depth_fine"),
+]
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str, *, curve_every: int = 5,
+                 use_tensorboard: bool = True):
+        self.dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.curve_every = curve_every
+        self._pending: List[Dict] = []   # device-scalar dicts, not yet fetched
+        self._steps: List[int] = []
+        self._rows: List[Dict] = []
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir)
+            except Exception:
+                self._tb = None
+        self._t0 = time.time()
+
+    def log_step(self, step: int, metrics: Dict) -> None:
+        """Queue device scalars; no host transfer happens here."""
+        self._pending.append(metrics)
+        self._steps.append(step)
+
+    def flush(self) -> Dict:
+        """Fetch all queued metrics in one bulk transfer and persist them."""
+        if not self._pending:
+            return {}
+        import jax
+        import jax.numpy as jnp
+        # stack on device -> ONE transfer (per-scalar fetches cost ~26 ms each
+        # through a tunneled backend; a flush of 50 steps x 10 keys would
+        # otherwise take seconds)
+        keys = list(self._pending[0].keys())
+        stacked = jnp.stack([jnp.stack([jnp.asarray(m[k], jnp.float32)
+                                        for k in keys])
+                             for m in self._pending])
+        mat = np.asarray(jax.device_get(stacked))
+        fetched = [dict(zip(keys, row)) for row in mat]
+        self._pending = []
+        steps, self._steps = self._steps, []
+        last = {}
+        for s, m in zip(steps, fetched):
+            row = {k: float(v) for k, v in m.items()}
+            row["step"] = s
+            row["wall"] = time.time() - self._t0
+            self._rows.append(row)
+            self._jsonl.write(json.dumps(row) + "\n")
+            if self._tb is not None:
+                for k, v in row.items():
+                    if k not in ("step", "wall"):
+                        self._tb.add_scalar(f"train/{k}", v, s)
+            last = row
+        self._jsonl.flush()
+        self._save_curves()
+        return last
+
+    def _save_curves(self) -> None:
+        """Reference loss-curve artifacts: every 5th step's values
+        (train_kitti.py:165-189 records on batch_idx % 5 == 0)."""
+        rows = [r for r in self._rows if r["step"] % self.curve_every == 0]
+        if not rows:
+            return
+        for key, fname in _CURVE_KEYS:
+            arr = np.asarray([r.get(key, 0.0) for r in rows], np.float32)
+            np.save(os.path.join(self.dir, fname), arr)
+
+    def log_val(self, step: int, metrics: Dict) -> None:
+        row = {f"val/{k}": float(v) for k, v in metrics.items()}
+        row["step"] = step
+        self._jsonl.write(json.dumps(row) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        self.flush()
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
