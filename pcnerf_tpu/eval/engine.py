@@ -83,6 +83,14 @@ def _pass(folded, origins, dirs, z_vals, near_c, far_c, seg_id, n_groups,
     Returns (depth, weights, flag) — the ``inference_0525_2`` triple.
     """
     occ = _occupancy_chunked(folded, origins, dirs, z_vals, mcfg, ray_chunk)
+    return pass_from_occ(occ, z_vals, near_c, far_c, seg_id, n_groups, valid,
+                         kernel, epsilon, method)
+
+
+def pass_from_occ(occ, z_vals, near_c, far_c, seg_id, n_groups, valid,
+                  kernel, epsilon, method):
+    """``inference_0525_2`` (render.py:229-368) from precomputed occupancy;
+    exposed separately for oracle parity tests."""
     w = C.occupancy_to_weights(occ)
     w = C.normalize_weights(w, epsilon)
 

@@ -88,7 +88,9 @@ def _leaky(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
-def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *, axis_name: str | None = None):
+def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *,
+                    axis_name: str | None = None,
+                    tp_axis: str | None = None):
     """Training-mode forward: BatchNorm uses batch statistics.
 
     Statistics are computed over the full flattened (rays*samples) batch in
@@ -97,9 +99,17 @@ def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *, axis_name: str | N
     single chunk and the fine pass three, so this is a documented, tolerance-
     level deviation (see tests/test_model_parity.py).
 
-    If ``axis_name`` is given, batch statistics are all-reduced over that mesh
-    axis (synchronized BatchNorm across data-parallel shards), keeping the
-    multi-chip run statistically identical to single-chip.
+    Parallelism (for use under ``shard_map``):
+      - ``axis_name``: data-parallel mesh axis; batch statistics are
+        pmean-reduced over it (synchronized BatchNorm), keeping the
+        multi-chip run statistically identical to single-chip.
+      - ``tp_axis``: tensor-parallel mesh axis.  Layers alternate
+        Megatron-style column-parallel (weights sharded on the output
+        feature dim; activations and BatchNorm parameters feature-sharded,
+        no communication) and row-parallel (weights sharded on the input
+        dim; one ``psum`` restores the replicated activation before the
+        bias/BN).  Four psums across the nine matmuls; the skip concat and
+        head run replicated.
 
     Returns (occupancy (B,), new_bn_state).
     """
@@ -126,10 +136,16 @@ def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *, axis_name: str | N
         inv = jax.lax.rsqrt(v + eps)
         return d * inv * params["layers"][i]["scale"] + params["layers"][i]["bias"]
 
-    for i in range(4):
+    def linear(i, y):
         lyr = params["layers"][i]
-        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
-        h = bn_train(i, h)
+        out = _dot(y, lyr["w"], cfg.compute_dtype)
+        if tp_axis is not None and i % 2 == 1:
+            # row-parallel: sum the partial products across feature shards
+            out = jax.lax.psum(out, tp_axis)
+        return out + lyr["b"]
+
+    for i in range(4):
+        h = bn_train(i, linear(i, h))
         h = _leaky(h, cfg.negative_slope)
     # stray activations appended to layer1 during layer2 construction
     for _ in range(4):
@@ -137,9 +153,7 @@ def nof_apply_train(params, bn_state, x, cfg: ModelConfig, *, axis_name: str | N
     if cfg.use_skip:
         h = jnp.concatenate([x, h], axis=-1)
     for i in range(4, 8):
-        lyr = params["layers"][i]
-        h = _dot(h, lyr["w"], cfg.compute_dtype) + lyr["b"]
-        h = bn_train(i, h)  # no activation: reference layer2 has none
+        h = bn_train(i, linear(i, h))  # no activation: reference layer2 has none
     logits = _dot(h, params["head"]["w"], cfg.compute_dtype) + params["head"]["b"]
     occ = jax.nn.sigmoid(logits)[..., 0]
     return occ, {"mean": new_mean, "var": new_var}

@@ -110,7 +110,7 @@ def _smooth_l1(pred, target):
 
 
 def child_free_loss(weights, free_mask, child_ids, sub_nerf_count: int,
-                    *, divide: bool):
+                    *, divide: bool, n_total=None):
     """Mean squared out-of-child weight mass (render.py:102-125).
 
     Non-divide: sum(square(w_outside)) / N_rays.
@@ -121,6 +121,8 @@ def child_free_loss(weights, free_mask, child_ids, sub_nerf_count: int,
     w_free = weights * (~free_mask).astype(weights.dtype)
     per_ray = jnp.sum(w_free * w_free, axis=-1)
     if not divide:
+        # local sum over LOCAL count: sum_local/n_local pmean-reduces to the
+        # reference's sum_global/free_num (render.py:121) under equal shards
         return jnp.sum(per_ray) / weights.shape[0]
     seg = jnp.round(child_ids).astype(jnp.int32)
     sums = jax.ops.segment_sum(per_ray, seg, num_segments=sub_nerf_count + 1)
@@ -132,7 +134,7 @@ def child_free_loss(weights, free_mask, child_ids, sub_nerf_count: int,
 
 def child_depth_loss(weights, depth_mask, z_vals, ranges, child_ids,
                      sub_nerf_count: int, *, divide: bool,
-                     epsilon: float = 1e-10):
+                     epsilon: float = 1e-10, n_total=None):
     """Child-masked renormalized depth vs. measured range (render.py:127-159).
 
     depth_c = sum(normalize(w * mask) * z * mask); loss contribution is
@@ -144,8 +146,10 @@ def child_depth_loss(weights, depth_mask, z_vals, ranges, child_ids,
     w_child = w_child / (jnp.sum(w_child, axis=-1, keepdims=True) + epsilon)
     depth_c = jnp.sum(w_child * z_vals * m, axis=-1)
     elems = _smooth_l1(10.0 * depth_c, 10.0 * ranges)
-    n = weights.shape[0]
+    n = n_total or weights.shape[0]
     if not divide:
+        # 1/near_num uses the GLOBAL batch size (render.py:131,:155); the
+        # local mean is over local rays, whose pmean is the global mean
         return 0.1 / n * jnp.mean(elems)
     seg = jnp.round(child_ids).astype(jnp.int32)
     sums = jax.ops.segment_sum(elems, seg, num_segments=sub_nerf_count + 1)

@@ -1,0 +1,6 @@
+from pcnerf_tpu.parallel.mesh import make_mesh  # noqa: F401
+from pcnerf_tpu.parallel.sharded import (  # noqa: F401
+    make_sharded_train_step,
+    param_pspecs,
+    shard_train_state,
+)

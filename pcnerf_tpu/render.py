@@ -50,34 +50,42 @@ def decode_rays(rays: jnp.ndarray) -> RayBatch:
 
 
 def _eval_occupancy(params, bn_state, points, mcfg: ModelConfig, *,
-                    train: bool, axis_name=None):
+                    train: bool, axis_name=None, tp_axis=None):
     """Embed + MLP over an (R, S, 3) sample grid, flattened to one batch."""
     r, s, _ = points.shape
     flat = points.reshape(r * s, 3)
     emb = embed_positions(flat, mcfg.n_freq, mcfg.logscale)
     if train:
         occ, new_bn = nof_apply_train(params, bn_state, emb, mcfg,
-                                      axis_name=axis_name)
+                                      axis_name=axis_name, tp_axis=tp_axis)
         return occ.reshape(r, s), new_bn
     return nof_apply(params, bn_state, emb, mcfg).reshape(r, s), bn_state
 
 
 def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
                      mcfg: ModelConfig, rcfg: RenderConfig, lcfg: LossConfig,
-                     *, train_bn: bool, axis_name=None):
+                     *, train_bn: bool, axis_name=None, tp_axis=None):
     """One model pass: occupancy -> weights -> depth + child losses.
 
     Mirrors ``inference_train`` (render.py:38-163).
     """
     points = rb.origins[:, None, :] + rb.dirs[:, None, :] * z_vals[..., None]
     occ, new_bn = _eval_occupancy(params, bn_state, points, mcfg,
-                                  train=train_bn, axis_name=axis_name)
+                                  train=train_bn, axis_name=axis_name,
+                                  tp_axis=tp_axis)
     w = C.occupancy_to_weights(occ)
     w = C.add_weight_noise(key, w, rcfg.noise_std)
     w = C.normalize_weights(w, rcfg.epsilon)
     depth = C.composite_depth(w, z_vals)
 
     if lcfg.use_child_nerf_loss:
+        if lcfg.use_child_nerf_divide and axis_name is not None:
+            raise NotImplementedError(
+                "per-child divide losses are single-shard for now; run with "
+                "dp=1 or use_child_nerf_divide=False")
+        n_total = z_vals.shape[0]
+        if axis_name is not None:
+            n_total = n_total * jax.lax.psum(1, axis_name)
         free_mask, _ = C.child_mask(
             z_vals, rb.near_child, rb.far_child,
             gamma0=rcfg.child_mask_gamma0_free, gamma_step=rcfg.child_mask_gamma_step)
@@ -85,11 +93,12 @@ def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
             z_vals, rb.near_child, rb.far_child,
             gamma0=rcfg.child_mask_gamma0, gamma_step=rcfg.child_mask_gamma_step)
         free = C.child_free_loss(w, free_mask, rb.child_id, lcfg.sub_nerf_count,
-                                 divide=lcfg.use_child_nerf_divide)
+                                 divide=lcfg.use_child_nerf_divide,
+                                 n_total=n_total)
         depth_l = C.child_depth_loss(w, depth_mask, z_vals, rb.ranges,
                                      rb.child_id, lcfg.sub_nerf_count,
                                      divide=lcfg.use_child_nerf_divide,
-                                     epsilon=rcfg.epsilon)
+                                     epsilon=rcfg.epsilon, n_total=n_total)
     else:
         free = jnp.zeros((), jnp.float32)
         depth_l = jnp.zeros((), jnp.float32)
@@ -99,7 +108,8 @@ def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
 
 def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
                       rays, key, mcfg: ModelConfig, rcfg: RenderConfig,
-                      lcfg: LossConfig, *, axis_name=None) -> Dict[str, jnp.ndarray]:
+                      lcfg: LossConfig, *, axis_name=None,
+                      tp_axis=None) -> Dict[str, jnp.ndarray]:
     """Coarse -> importance -> fine training render (render.py:416-482)."""
     rb = decode_rays(rays)
     k_pert, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
@@ -113,7 +123,8 @@ def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
         z_vals = S.perturb_z(k_pert, z_vals, rcfg.perturb)
 
     coarse = _composite_train(params_coarse, bn_coarse, rb, z_vals, k_noise_c,
-                              mcfg, rcfg, lcfg, train_bn=True, axis_name=axis_name)
+                              mcfg, rcfg, lcfg, train_bn=True,
+                              axis_name=axis_name, tp_axis=tp_axis)
 
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_new = S.sample_pdf(k_pdf, mids, jax.lax.stop_gradient(coarse["weights"][..., 1:-1]),
@@ -121,7 +132,8 @@ def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
     z_fine = S.merge_sorted(z_vals, z_new)
 
     fine = _composite_train(params_fine, bn_fine, rb, z_fine, k_noise_f,
-                            mcfg, rcfg, lcfg, train_bn=True, axis_name=axis_name)
+                            mcfg, rcfg, lcfg, train_bn=True,
+                            axis_name=axis_name, tp_axis=tp_axis)
 
     return {
         "depth": coarse["depth"], "depth_fine": fine["depth"],

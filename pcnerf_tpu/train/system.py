@@ -95,17 +95,19 @@ def _scene_range_loss(pred, pred_fine, gt, child_ids, cfg: TrainConfig):
     return lr_, lrf
 
 
-def make_train_step(cfg: TrainConfig, *, axis_name=None, donate: bool = True):
+def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
+                    donate: bool = True):
     """Build the jitted train step.  With ``axis_name`` set, gradients and BN
-    statistics are psum/pmean-reduced over that mesh axis (for use under
-    ``shard_map``)."""
+    statistics are psum/pmean-reduced over that mesh axis; ``tp_axis``
+    additionally runs the MLP tensor-parallel (for use under ``shard_map``;
+    see pcnerf_tpu/parallel)."""
     tx = make_optimizer(cfg)
 
     def loss_and_metrics(params, bn, rays, gt, key):
         out = render_rays_train(params["coarse"], bn["coarse"],
                                 params["fine"], bn["fine"], rays, key,
                                 cfg.model, cfg.render, cfg.loss,
-                                axis_name=axis_name)
+                                axis_name=axis_name, tp_axis=tp_axis)
         child_ids = rays[:, 9]
         lr_, lrf = _scene_range_loss(out["depth"], out["depth_fine"], gt,
                                      child_ids, cfg)

@@ -202,3 +202,69 @@ def face_hits_scalar(o, d, bmin, bmax):
                 if count >= 2:
                     hits.append(t)
     return hits
+
+
+# ---------------------------------------------------------------------------
+# Two-step inference oracle (inference_0525_2, render.py:229-368)
+# ---------------------------------------------------------------------------
+
+def inference_0525_2_oracle(occ, z_vals, other_counts, near_c, far_c,
+                            method=2, epsilon=1e-10):
+    """Literal re-enactment of the reference's eval compositor: strict
+    gamma-expansion masks (gamma0=0.01), scipy gaussian smoothing (sigma=5),
+    and the sequential per-group candidate walk.  noise-free.
+
+    Returns (depth, flag) numpy arrays.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    occ = torch.tensor(occ)
+    z = torch.tensor(z_vals)
+    n_rays, _ = occ.shape
+    w = weights_from_occ(occ, epsilon)
+
+    mask_child = gamma_mask_loop(z, torch.tensor(near_c), torch.tensor(far_c),
+                                 0.01, strict=True)
+
+    smoothed = torch.zeros_like(w)
+    for i in range(n_rays):
+        smoothed[i] = torch.tensor(gaussian_filter(w[i].numpy(), sigma=5))
+    max_idx = torch.argmax(smoothed, dim=1)
+    mask1 = torch.zeros_like(w, dtype=torch.bool)
+    mask1[torch.arange(n_rays), max_idx] = True
+    mask2 = (mask_child.float() * mask1.float()).sum(-1).reshape(-1, 1)
+    w_child_sum = (w * mask_child.float()).sum(-1).reshape(-1, 1)
+
+    flag = torch.zeros((n_rays, 1), dtype=torch.bool)
+    i = 0
+    while i < n_rays:
+        if abs(other_counts[i] - 0) < 0.5:
+            flag[i] = True
+            i += 1
+        elif other_counts[i] > 0.5:
+            if abs(mask2[i] - 1) < 0.1:
+                sel = i
+            else:
+                sel = i
+                exist = 0
+                for j in range(0, int(other_counts[i])):
+                    if abs(mask2[i + j + 1] - 1) < 0.1:
+                        sel = i + j + 1
+                        exist = 1
+                        break
+                if exist == 0:
+                    for j in range(0, int(other_counts[i])):
+                        if w_child_sum[i + j + 1] > w_child_sum[sel]:
+                            sel = i + j + 1
+            flag[sel] = True
+            i = i + int(other_counts[i]) + 1
+        else:
+            i += 1
+
+    if method == 2:
+        w_child = w * mask_child.float()
+        w_child = w_child / (w_child.sum(-1, keepdim=True) + epsilon)
+        depth = (w_child * z).sum(-1)
+    else:
+        depth = (w * z).sum(-1)
+    return depth.numpy(), flag.numpy()[:, 0]
