@@ -19,6 +19,25 @@ Everything on the compute path is functional JAX: params are pytrees, steps are
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: on the tunneled axon backend a cold
+# compile of the train step takes minutes (remote compile service); the
+# cache turns reruns into seconds.  Opt out with PCNERF_NO_JAX_CACHE=1.
+if not _os.environ.get("PCNERF_NO_JAX_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from pcnerf_tpu.config import (  # noqa: F401
     ModelConfig,
     RenderConfig,

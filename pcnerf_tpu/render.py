@@ -171,3 +171,47 @@ def render_rays_val(params_coarse, bn_coarse, params_fine, bn_fine,
     z_fine = S.merge_sorted(z_vals, z_new)
     depth_fine, _ = one_pass(params_fine, bn_fine, z_fine, k_noise_f)
     return {"depth": depth, "depth_fine": depth_fine}
+
+
+def render_rays_legacy(params_coarse, bn_coarse, params_fine, bn_fine,
+                       rays, key, mcfg: ModelConfig, rcfg: RenderConfig,
+                       *, use_disp: bool = False, isval: bool = False,
+                       ) -> Dict[str, jnp.ndarray]:
+    """Legacy original-NeRF path (``render_rays`` + ``inference``,
+    render.py:166-226, 538-611): optional disparity-space sampling, opacity
+    regularizer, weight normalization skipped when ``isval``, and the
+    argmax-sample ``depth2`` output."""
+    rb = decode_rays(rays)
+    k_pert, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    steps = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=jnp.float32)
+    if use_disp:
+        z_vals = 1.0 / (1.0 / rb.near[:, None] * (1.0 - steps)
+                        + 1.0 / rb.far[:, None] * steps)
+    else:
+        z_vals = rb.near[:, None] * (1.0 - steps) + rb.far[:, None] * steps
+    if rcfg.perturb > 0:
+        z_vals = S.perturb_z(k_pert, z_vals, rcfg.perturb)
+
+    def one_pass(params, bn, z, k):
+        points = rb.origins[:, None, :] + rb.dirs[:, None, :] * z[..., None]
+        occ, _ = _eval_occupancy(params, bn, points, mcfg, train=False)
+        w = C.occupancy_to_weights(occ)
+        w = C.add_weight_noise(k, w, rcfg.noise_std)
+        if not isval:
+            w = C.normalize_weights(w, rcfg.epsilon)
+        return C.composite_depth(w, z), w, C.opacity_regularizer(occ)
+
+    depth, w, opacity = one_pass(params_coarse, bn_coarse, z_vals, k_noise_c)
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_new = S.sample_pdf(k_pdf, mids, w[..., 1:-1], rcfg.n_importance,
+                         det=(rcfg.perturb == 0.0))
+    z_fine = S.merge_sorted(z_vals, z_new)
+    depth_fine, w_fine, opacity_fine = one_pass(params_fine, bn_fine, z_fine,
+                                                k_noise_f)
+    # depth2: the z of each ray's max-weight sample (render.py:598-600)
+    depth2 = jnp.take_along_axis(z_fine, jnp.argmax(w_fine, -1)[:, None],
+                                 -1)[:, 0]
+    return {"depth": depth, "depth_fine": depth_fine, "weights": w_fine,
+            "opacity": opacity, "opacity_fine": opacity_fine,
+            "z_vals": z_fine, "depth2": depth2}

@@ -93,7 +93,7 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
 
     if not skip_sanity_val:
         m = run_validation(cfg, state, val_step, rays_val, ranges_val,
-                           jax.random.fold_in(key, -1))
+                           jax.random.fold_in(key, 99_999))
         logger.log_val(0, m)
         if verbose:
             print(f"[fit] sanity val: {m}", flush=True)
