@@ -203,6 +203,7 @@ class EvalConfig:
     batch_size: int = 4096            # 18432 for maicity (eval:979,1111)
     smooth_sigma: float = 5.0         # gaussian smoothing of weights
     center_dist_prefilter: float = 0.65
+    use_pallas: bool = False          # fused PE+MLP kernel for the eval MLP
     ckpt_path: str = ""
     pcd_path: str = ""
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -77,12 +77,16 @@ def _occupancy_chunked(folded, origins, dirs, z_vals, mcfg: ModelConfig,
 
 
 def _pass(folded, origins, dirs, z_vals, near_c, far_c, seg_id, n_groups,
-          valid, kernel, mcfg, epsilon, method, ray_chunk):
+          valid, kernel, mcfg, epsilon, method, ray_chunk, use_pallas):
     """One coarse-or-fine pass: occupancy -> weights -> peak select -> depth.
 
     Returns (depth, weights, flag) — the ``inference_0525_2`` triple.
     """
-    occ = _occupancy_chunked(folded, origins, dirs, z_vals, mcfg, ray_chunk)
+    if use_pallas:
+        from pcnerf_tpu.ops.pallas_kernels import fused_occupancy
+        occ = fused_occupancy(folded, origins, dirs, z_vals, mcfg)
+    else:
+        occ = _occupancy_chunked(folded, origins, dirs, z_vals, mcfg, ray_chunk)
     return pass_from_occ(occ, z_vals, near_c, far_c, seg_id, n_groups, valid,
                          kernel, epsilon, method)
 
@@ -132,10 +136,11 @@ def pass_from_occ(occ, z_vals, near_c, far_c, seg_id, n_groups, valid,
 @functools.partial(
     jax.jit,
     static_argnames=("mcfg", "n_samples", "n_importance", "method",
-                     "n_groups", "ray_chunk"))
+                     "n_groups", "ray_chunk", "use_pallas"))
 def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
                 *, mcfg: ModelConfig, n_samples: int, n_importance: int,
-                method: int, n_groups: int, ray_chunk: int = 64):
+                method: int, n_groups: int, ray_chunk: int = 64,
+                use_pallas: bool = False):
     """Full coarse->importance->fine inference over one padded batch.
 
     rays: (B, 13) test-ray rows (see eval/testrays.py layout);
@@ -150,7 +155,7 @@ def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
     z = S.stratified_z(near_p, far_p, n_samples)
     depth_c, w_c, _ = _pass(folded_coarse, origins, dirs, z, near_c, far_c,
                             seg_id, n_groups, valid, kernel, mcfg, epsilon,
-                            method, ray_chunk)
+                            method, ray_chunk, use_pallas)
 
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     z_new = S.sample_pdf(jax.random.PRNGKey(0), mids, w_c[..., 1:-1],
@@ -159,7 +164,7 @@ def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
 
     depth_f, _, flag_f = _pass(folded_fine, origins, dirs, z_fine, near_c,
                                far_c, seg_id, n_groups, valid, kernel, mcfg,
-                               epsilon, method, ray_chunk)
+                               epsilon, method, ray_chunk, use_pallas)
     points_f = origins + depth_f[:, None] * dirs
     return points_f, flag_f, depth_f, depth_c
 
@@ -208,9 +213,16 @@ class GroupBatcher(NamedTuple):
 
 
 def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
-                  rays: np.ndarray, counts: np.ndarray, *, verbose=False):
+                  rays: np.ndarray, counts: np.ndarray, *, verbose=False,
+                  use_pallas: bool | None = None):
     """Drive all batches of one frame; returns kept fine points (M, 3)."""
     mcfg = eval_cfg.model
+    if use_pallas is None:
+        use_pallas = eval_cfg.use_pallas
+    if use_pallas:
+        from pcnerf_tpu.ops.pallas_kernels import pad_folded_params
+        folded_coarse = pad_folded_params(folded_coarse, mcfg)
+        folded_fine = pad_folded_params(folded_fine, mcfg)
     kernel = jnp.asarray(scipy_gaussian_kernel1d(eval_cfg.smooth_sigma))
     bs = eval_cfg.batch_size
     # static padded size: the reference's tail batch can reach 1.5x the
@@ -227,7 +239,8 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
             jnp.asarray(rays_p), jnp.asarray(seg), jnp.asarray(valid), kernel,
             mcfg=mcfg, n_samples=eval_cfg.n_samples,
             n_importance=eval_cfg.n_importance,
-            method=eval_cfg.depth_inference_method, n_groups=pad_to)
+            method=eval_cfg.depth_inference_method, n_groups=pad_to,
+            use_pallas=use_pallas)
         pts = np.asarray(pts)[:n_real]
         flag = np.asarray(flag)[:n_real]
         kept.append(pts[flag])

@@ -118,9 +118,30 @@ def build_test_rays(cfg: DataConfig, view_frame: int, *,
                     depth_inference_method: int = 2,
                     aabbs_unpadded: Optional[np.ndarray] = None,
                     result_path: Optional[str] = None,
-                    verbose: bool = True):
+                    verbose: bool = True, use_cpu: bool = True):
     """Build (all_rays, all_ranges, other_counts, true_in, gt_points, origin)
-    for one test frame (``view_frame`` = j+1 scan number)."""
+    for one test frame (``view_frame`` = j+1 scan number).
+
+    ``use_cpu`` pins the many small chunked intersection programs to the host
+    (offline tool; see data/raybuffer.py for the rationale).
+    """
+    if use_cpu:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return _build_test_rays(
+                cfg, view_frame, depth_inference_method=depth_inference_method,
+                aabbs_unpadded=aabbs_unpadded, result_path=result_path,
+                verbose=verbose)
+    return _build_test_rays(
+        cfg, view_frame, depth_inference_method=depth_inference_method,
+        aabbs_unpadded=aabbs_unpadded, result_path=result_path,
+        verbose=verbose)
+
+
+def _build_test_rays(cfg: DataConfig, view_frame: int, *,
+                     depth_inference_method: int = 2,
+                     aabbs_unpadded: Optional[np.ndarray] = None,
+                     result_path: Optional[str] = None,
+                     verbose: bool = True):
     if aabbs_unpadded is None:
         aabbs_unpadded = np.load(os.path.join(cfg.result_path,
                                               "child_aabbs.npy")).astype(np.float32)
