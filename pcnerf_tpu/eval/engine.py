@@ -177,7 +177,7 @@ class GroupBatcher(NamedTuple):
     rays: np.ndarray
     counts: np.ndarray  # other_interest (first row = groupsize-1)
 
-    def batches(self, batch_size: int, pad_to: int):
+    def batches(self, batch_size: int, pad_to: int, pad_to_tail: int):
         n = self.rays.shape[0]
         markers = self.rays[:, 12]
         i = 0
@@ -188,9 +188,10 @@ class GroupBatcher(NamedTuple):
                 e = i + batch_size
                 while e < n and markers[e] < -0.5:
                     e += 1
+                yield self._pad(self.rays[i:e], pad_to)
             else:
                 e = n
-            yield self._pad(self.rays[i:e], pad_to)
+                yield self._pad(self.rays[i:e], pad_to_tail)
             i = e
 
     @staticmethod
@@ -225,21 +226,24 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
         folded_fine = pad_folded_params(folded_fine, mcfg)
     kernel = jnp.asarray(scipy_gaussian_kernel1d(eval_cfg.smooth_sigma))
     bs = eval_cfg.batch_size
-    # static padded size: the reference's tail batch can reach 1.5x the
-    # nominal size (eval_kitti_render.py:1120 takes all remaining rows when
-    # fewer than 1.5 batches remain), plus group-overflow slack; rounded to
-    # the ray-chunk multiple so lax.map tiles evenly
-    pad_to = -(-int(1.5 * bs + 1024) // 64) * 64
+    # two static shapes: regular batches pad to bs + group-overflow slack;
+    # the reference's tail batch can reach 1.5x the nominal size
+    # (eval_kitti_render.py:1120 takes all remaining rows when fewer than 1.5
+    # batches remain) and gets its own padded size.  Rounded to the ray-chunk
+    # multiple so lax.map / the pallas grid tile evenly.
+    pad_to = -(-int(bs + 1024) // 64) * 64
+    pad_to_tail = -(-int(1.5 * bs + 1024) // 64) * 64
     batcher = GroupBatcher(rays, counts)
     kept = []
-    for rays_p, seg, valid, n_real in batcher.batches(bs, pad_to):
+    fc = jax.tree.map(jnp.asarray, folded_coarse)
+    ff = jax.tree.map(jnp.asarray, folded_fine)
+    for rays_p, seg, valid, n_real in batcher.batches(bs, pad_to, pad_to_tail):
         pts, flag, _, _ = infer_batch(
-            jax.tree.map(jnp.asarray, folded_coarse),
-            jax.tree.map(jnp.asarray, folded_fine),
+            fc, ff,
             jnp.asarray(rays_p), jnp.asarray(seg), jnp.asarray(valid), kernel,
             mcfg=mcfg, n_samples=eval_cfg.n_samples,
             n_importance=eval_cfg.n_importance,
-            method=eval_cfg.depth_inference_method, n_groups=pad_to,
+            method=eval_cfg.depth_inference_method, n_groups=rays_p.shape[0],
             use_pallas=use_pallas)
         pts = np.asarray(pts)[:n_real]
         flag = np.asarray(flag)[:n_real]

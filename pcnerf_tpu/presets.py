@@ -126,20 +126,26 @@ def maicity00_originalnerf_train(sparsity="20", **kw) -> TrainConfig:
                   pcnerf=False, decay_gamma=0.1, **kw)
 
 
-def kitti00_eval(method: int = 2, sparsity="20") -> EvalConfig:
-    """KITTI00_{pcnerf,originalnerf}_eval.bash"""
+def kitti00_eval(method: int = 2, sparsity="20",
+                 compute_dtype: str = "bfloat16") -> EvalConfig:
+    """KITTI00_{pcnerf,originalnerf}_eval.bash (bf16 MLP by default: the
+    eval MLP is MXU-bound; fp32-vs-bf16 depth differences are well below the
+    0.2 m metric threshold — validated per-frame in round 1)"""
     return EvalConfig(
         depth_inference_method=method,
         n_samples=4096, n_importance=8192, batch_size=4096,
+        model=ModelConfig(compute_dtype=compute_dtype),
         data=kitti00_data(sparsity))
 
 
-def maicity00_eval(method: int = 2, sparsity="20") -> EvalConfig:
+def maicity00_eval(method: int = 2, sparsity="20",
+                   compute_dtype: str = "bfloat16") -> EvalConfig:
     """MaiCity00_{pcnerf,originalnerf}_eval.bash (batch 18432,
     eval_kitti_render.py:979)"""
     return EvalConfig(
         depth_inference_method=method,
         n_samples=4096, n_importance=8192, batch_size=18432,
+        model=ModelConfig(compute_dtype=compute_dtype),
         data=maicity00_data(sparsity))
 
 

@@ -1,0 +1,98 @@
+"""Multi-block scene orchestration: a long trajectory as a sequence of
+parent-NeRF blocks.
+
+The reference realizes multi-block scenes as independent experiment dirs —
+one bash config per road block (README.md:56-59, SURVEY.md section 2.4
+"scene blocking").  Here a sequence range is partitioned into fixed-length
+frame windows; each block gets its own preprocessing artifacts, ray buffers,
+training run, and evaluation, driven by one command:
+
+    python -m pcnerf_tpu.tools.multi_block --dataset kitti \
+        --root .../pcd --poses .../poses.txt --out artifacts/kitti00_blocks \
+        --start 1150 --end 1400 --block-frames 50 --phase all
+
+Blocks are independent: on a pod slice they parallelize trivially
+(--block-index selects one block per process; scheduling across hosts rides
+DCN, nothing is shared but the poses file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+from pcnerf_tpu.config import DataConfig, TrainConfig
+from pcnerf_tpu.preprocess.pipeline import run_pipeline
+
+
+def block_ranges(start: int, end: int, block_frames: int):
+    """[(block_start, block_end)] windows covering [start, end)."""
+    out = []
+    s = start
+    while s < end:
+        out.append((s, min(s + block_frames, end)))
+        s += block_frames
+    return out
+
+
+def block_data_config(dataset: str, root: str, poses: str, out_dir: str,
+                      bs: int, be: int) -> DataConfig:
+    art = os.path.join(out_dir, f"block_{bs}_{be}")
+    rd = (3.0, 2.0, 1.25) if dataset == "kitti" else (2.0, 1.0, 0.5)
+    meta_p = os.path.join(art, "preprocess_meta.json")
+    n_children = 0
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            n_children = json.load(f)["n_children"]
+    return DataConfig(
+        dataset=dataset, root_dir=root, pose_path=poses,
+        subnerf_path=os.path.join(art, "sub_pointcloud/split_child_nerf2"),
+        parentnerf_path=os.path.join(art, "source.pcd"),
+        result_path=art, data_start=bs, data_end=be,
+        sub_nerf_count=n_children, surface_expand=0.05, range_delete=rd)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["kitti", "maicity"], required=True)
+    p.add_argument("--root", required=True)
+    p.add_argument("--poses", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--start", type=int, required=True)
+    p.add_argument("--end", type=int, required=True)
+    p.add_argument("--block-frames", type=int, default=50)
+    p.add_argument("--block-index", type=int, default=None,
+                   help="process only this block (multi-host sharding)")
+    p.add_argument("--phase", choices=["preprocess", "train", "all"],
+                   default="all")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--sparsity", default="20")
+    a = p.parse_args()
+
+    blocks = block_ranges(a.start, a.end, a.block_frames)
+    if a.block_index is not None:
+        blocks = [blocks[a.block_index]]
+    for bs, be in blocks:
+        art = os.path.join(a.out, f"block_{bs}_{be}")
+        print(f"=== block [{bs}, {be}) -> {art}", flush=True)
+        if a.phase in ("preprocess", "all"):
+            run_pipeline(a.dataset, a.root, a.poses, art, bs, be,
+                         sparsity=a.sparsity)
+        if a.phase in ("train", "all"):
+            from pcnerf_tpu.config import LossConfig, ModelConfig, RenderConfig
+            from pcnerf_tpu.train.loop import fit
+            data = block_data_config(a.dataset, a.root, a.poses, a.out, bs, be)
+            cfg = TrainConfig(
+                exp_name=f"blocks/block_{bs}_{be}",
+                model=ModelConfig(compute_dtype=a.dtype),
+                loss=dataclasses.replace(LossConfig(),
+                                         sub_nerf_count=data.sub_nerf_count),
+                data=data)
+            fit(cfg, out_dir=os.path.join(art, "train"),
+                skip_sanity_val=True)
+
+
+if __name__ == "__main__":
+    main()

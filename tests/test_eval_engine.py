@@ -84,7 +84,7 @@ def test_group_batcher_respects_groups():
     rays = np.stack(rows)
     b = GroupBatcher(rays, np.asarray(counts))
     seen = 0
-    for rays_p, seg, valid, n_real in b.batches(512, 1024):
+    for rays_p, seg, valid, n_real in b.batches(512, 1024, 1536):
         # every batch must start with a group-start row
         assert rays_p[0, 12] >= -0.5
         # last real row's group must be complete: trailing row count check
