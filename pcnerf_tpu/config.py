@@ -94,6 +94,13 @@ class ModelConfig:
     # Matmul compute dtype. Params are always float32; "bfloat16" casts matmul
     # operands and accumulates in float32 on the MXU.
     compute_dtype: str = "float32"
+    # Affine collapse: with identity activations (slope 1.0, the reference's
+    # quirk) the whole MLP is an affine map of the embedding given batch
+    # statistics, so the 9 activation matmuls fold into one 63->1 matvec —
+    # mathematically identical forward + gradients, ~10x faster on TPU (the
+    # activation HBM traffic disappears).  "auto" enables it exactly when
+    # negative_slope == 1.0; "on"/"off" force it (see models/nof.py).
+    collapse_affine: str = "auto"
 
     @property
     def in_channels(self) -> int:

@@ -1,8 +1,12 @@
 from pcnerf_tpu.models.embedding import embed_positions, embedding_dim  # noqa: F401
 from pcnerf_tpu.models.nof import (  # noqa: F401
+    collapse_active,
+    collapse_eval_params,
+    fold_batchnorm,
     init_nof,
     nof_apply,
-    nof_apply_train,
-    fold_batchnorm,
+    nof_apply_collapsed,
     nof_apply_folded,
+    nof_apply_train,
+    nof_apply_train_collapsed,
 )

@@ -182,6 +182,130 @@ def nof_apply(params, bn_state, x, cfg: ModelConfig):
     return jax.nn.sigmoid(logits)[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# Affine collapse (the TPU fast path for the reference's identity activations)
+# ---------------------------------------------------------------------------
+#
+# The reference writes ``nn.LeakyReLU(True)`` => slope 1.0 => every activation
+# is the identity (models.py:72,92).  With identity activations the whole NOF
+# network is, *given the batch statistics*, an affine map of the embedding:
+# Linear and BatchNorm are both affine, so their composition collapses to one
+# 63->1 linear followed by the sigmoid head.  The batch statistics themselves
+# are moments of affine images of the embedding, so they derive exactly from
+# the embedding's batch mean mu and covariance Sigma:
+#
+#   h = x @ A + c        (A, c folded layer by layer)
+#   mean(h) = mu @ A + c
+#   var(h)_j = a_j^T Sigma a_j
+#
+# This replaces nine (B, 256)-activation matmuls (B ~ 3M samples/step, the
+# HBM-bandwidth wall of the step) with one (B, 63) moment reduction and one
+# (B, 63) @ (63, 1) matvec, plus O(63*256) folding arithmetic.  It is a
+# mathematical identity — the same function of (params, batch), hence the
+# same forward AND the same gradients (up to fp rounding); parity is enforced
+# by tests/test_collapse.py.  Disabled automatically when negative_slope != 1
+# (a real LeakyReLU breaks affinity).
+
+
+def collapse_active(cfg: ModelConfig) -> bool:
+    if cfg.collapse_affine == "on":
+        return True
+    return cfg.collapse_affine == "auto" and cfg.negative_slope == 1.0
+
+
+def _fold_layers(params, bn_apply, d_in: int, use_skip: bool, tp_axis):
+    """Fold the 8 (Linear, BN) pairs + head into (w_eff (d_in,1), b_eff (1,)).
+
+    ``bn_apply(i, A, c) -> (A, c)`` applies layer i's BN affine to the current
+    map; train and eval modes differ only in where its mean/var come from.
+    Mirrors the tensor-parallel structure of ``nof_apply_train``: odd layers
+    are row-parallel (psum over ``tp_axis``), even column-parallel.
+    """
+    A = jnp.eye(d_in, dtype=jnp.float32)
+    c = jnp.zeros((d_in,), jnp.float32)
+
+    def linear(i, A, c):
+        lyr = params["layers"][i]
+        A2 = A @ lyr["w"]
+        c2 = c @ lyr["w"]
+        if tp_axis is not None and i % 2 == 1:
+            A2 = jax.lax.psum(A2, tp_axis)
+            c2 = jax.lax.psum(c2, tp_axis)
+        return A2, c2 + lyr["b"]
+
+    for i in range(4):
+        A, c = bn_apply(i, *linear(i, A, c))
+    if use_skip:
+        A = jnp.concatenate([jnp.eye(d_in, dtype=jnp.float32), A], axis=1)
+        c = jnp.concatenate([jnp.zeros((d_in,), jnp.float32), c])
+    for i in range(4, 8):
+        A, c = bn_apply(i, *linear(i, A, c))
+    w_eff = A @ params["head"]["w"]
+    b_eff = c @ params["head"]["w"] + params["head"]["b"]
+    return w_eff, b_eff
+
+
+def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
+                              axis_name: str | None = None,
+                              tp_axis: str | None = None):
+    """Training-mode forward via affine collapse (identical math to
+    ``nof_apply_train`` when ``negative_slope == 1``; see module note above).
+
+    Batch statistics are synchronized over ``axis_name`` exactly as in the
+    generic path: the embedding moments are pmean-reduced, and every layer's
+    derived mean/var then equals the sync-BN global statistic.
+    """
+    eps, mom = cfg.bn_eps, cfg.bn_momentum
+    xf = x.astype(jnp.float32)
+    b_local = xf.shape[0]
+    mu = xf.mean(axis=0)
+    if axis_name is not None:
+        mu = jax.lax.pmean(mu, axis_name)
+    xc = xf - mu
+    sigma = jax.lax.dot(xc.T, xc,
+                        preferred_element_type=jnp.float32) / b_local
+    if axis_name is not None:
+        sigma = jax.lax.pmean(sigma, axis_name)
+        n = b_local * jax.lax.psum(1, axis_name)
+    else:
+        n = b_local
+    bessel = n / max(n - 1, 1) if isinstance(n, int) else n / jnp.maximum(n - 1, 1)
+
+    new_mean, new_var = [], []
+
+    def bn_apply(i, A, c):
+        m = mu @ A + c
+        v = jnp.maximum(jnp.sum(A * (sigma @ A), axis=0), 0.0)
+        new_mean.append((1 - mom) * bn_state["mean"][i] + mom * m)
+        new_var.append((1 - mom) * bn_state["var"][i] + mom * v * bessel)
+        g = jax.lax.rsqrt(v + eps) * params["layers"][i]["scale"]
+        return A * g[None, :], (c - m) * g + params["layers"][i]["bias"]
+
+    w_eff, b_eff = _fold_layers(params, bn_apply, xf.shape[-1],
+                                cfg.use_skip, tp_axis)
+    logits = _dot(xf, w_eff, cfg.compute_dtype) + b_eff
+    return jax.nn.sigmoid(logits)[..., 0], {"mean": new_mean, "var": new_var}
+
+
+def collapse_eval_params(params, bn_state, cfg: ModelConfig):
+    """Fold eval-mode BN + all Linears into a single (w_eff, b_eff)."""
+    eps = cfg.bn_eps
+
+    def bn_apply(i, A, c):
+        lyr = params["layers"][i]
+        g = jax.lax.rsqrt(bn_state["var"][i] + eps) * lyr["scale"]
+        return A * g[None, :], (c - bn_state["mean"][i]) * g + lyr["bias"]
+
+    d_in = params["layers"][0]["w"].shape[0]
+    return _fold_layers(params, bn_apply, d_in, cfg.use_skip, None)
+
+
+def nof_apply_collapsed(w_eff, b_eff, x, cfg: ModelConfig):
+    """sigmoid(x @ w_eff + b_eff) — the collapsed single-matvec forward."""
+    logits = _dot(x.astype(jnp.float32), w_eff, cfg.compute_dtype) + b_eff
+    return jax.nn.sigmoid(logits)[..., 0]
+
+
 def fold_batchnorm(params, bn_state, cfg: ModelConfig):
     """Fold eval-mode BatchNorm into the Linear weights.
 

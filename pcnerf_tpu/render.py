@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pcnerf_tpu.config import LossConfig, ModelConfig, RenderConfig
+from pcnerf_tpu import models as M
 from pcnerf_tpu.models import embed_positions, nof_apply, nof_apply_train
 from pcnerf_tpu.ops import compositing as C
 from pcnerf_tpu.ops import sampling as S
@@ -51,14 +52,24 @@ def decode_rays(rays: jnp.ndarray) -> RayBatch:
 
 def _eval_occupancy(params, bn_state, points, mcfg: ModelConfig, *,
                     train: bool, axis_name=None, tp_axis=None):
-    """Embed + MLP over an (R, S, 3) sample grid, flattened to one batch."""
+    """Embed + MLP over an (R, S, 3) sample grid, flattened to one batch.
+
+    With identity activations (the reference's slope-1 quirk) the MLP is
+    routed through the affine-collapse fast path — identical math, one
+    matvec instead of nine activation matmuls (see models/nof.py).
+    """
     r, s, _ = points.shape
     flat = points.reshape(r * s, 3)
     emb = embed_positions(flat, mcfg.n_freq, mcfg.logscale)
     if train:
-        occ, new_bn = nof_apply_train(params, bn_state, emb, mcfg,
-                                      axis_name=axis_name, tp_axis=tp_axis)
+        apply_train = (M.nof_apply_train_collapsed if M.collapse_active(mcfg)
+                       else nof_apply_train)
+        occ, new_bn = apply_train(params, bn_state, emb, mcfg,
+                                  axis_name=axis_name, tp_axis=tp_axis)
         return occ.reshape(r, s), new_bn
+    if M.collapse_active(mcfg):
+        w_eff, b_eff = M.collapse_eval_params(params, bn_state, mcfg)
+        return M.nof_apply_collapsed(w_eff, b_eff, emb, mcfg).reshape(r, s), bn_state
     return nof_apply(params, bn_state, emb, mcfg).reshape(r, s), bn_state
 
 
