@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from pcnerf_tpu.config import EvalConfig, ModelConfig
-from pcnerf_tpu.models import embed_positions, nof_apply_folded
+from pcnerf_tpu.models import collapse_active, collapse_folded_params, embed_positions, nof_apply_folded
+from pcnerf_tpu.models.embedding import embedded_dot
 from pcnerf_tpu.ops import compositing as C
 from pcnerf_tpu.ops import sampling as S
 
@@ -76,13 +77,28 @@ def _occupancy_chunked(folded, origins, dirs, z_vals, mcfg: ModelConfig,
     return occ.reshape(R, Ns)
 
 
+def _occupancy_collapsed(model, origins, dirs, z_vals, mcfg: ModelConfig):
+    """(R, S) occupancy via the affine-collapsed single-logit evaluation.
+
+    One fused elementwise pass over the sample points (band-wise weighted
+    sin/cos sum, ``embedded_dot``) — no chunking needed: nothing larger than
+    the (R, S) occupancy itself is materialized.
+    """
+    w_eff, b_eff = model["w_eff"], model["b_eff"]
+    pts = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+    logits = embedded_dot(pts, w_eff, mcfg.n_freq, mcfg.logscale)
+    return jax.nn.sigmoid(logits + b_eff.reshape(()))
+
+
 def _pass(folded, origins, dirs, z_vals, near_c, far_c, seg_id, n_groups,
-          valid, kernel, mcfg, epsilon, method, ray_chunk, use_pallas):
+          valid, kernel, mcfg, epsilon, method, ray_chunk, mlp_mode):
     """One coarse-or-fine pass: occupancy -> weights -> peak select -> depth.
 
     Returns (depth, weights, flag) — the ``inference_0525_2`` triple.
     """
-    if use_pallas:
+    if mlp_mode == "collapsed":
+        occ = _occupancy_collapsed(folded, origins, dirs, z_vals, mcfg)
+    elif mlp_mode == "pallas":
         from pcnerf_tpu.ops.pallas_kernels import fused_occupancy
         occ = fused_occupancy(folded, origins, dirs, z_vals, mcfg)
     else:
@@ -136,11 +152,11 @@ def pass_from_occ(occ, z_vals, near_c, far_c, seg_id, n_groups, valid,
 @functools.partial(
     jax.jit,
     static_argnames=("mcfg", "n_samples", "n_importance", "method",
-                     "n_groups", "ray_chunk", "use_pallas"))
+                     "n_groups", "ray_chunk", "mlp_mode"))
 def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
                 *, mcfg: ModelConfig, n_samples: int, n_importance: int,
                 method: int, n_groups: int, ray_chunk: int = 64,
-                use_pallas: bool = False):
+                mlp_mode: str = "folded"):
     """Full coarse->importance->fine inference over one padded batch.
 
     rays: (B, 13) test-ray rows (see eval/testrays.py layout);
@@ -155,7 +171,7 @@ def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
     z = S.stratified_z(near_p, far_p, n_samples)
     depth_c, w_c, _ = _pass(folded_coarse, origins, dirs, z, near_c, far_c,
                             seg_id, n_groups, valid, kernel, mcfg, epsilon,
-                            method, ray_chunk, use_pallas)
+                            method, ray_chunk, mlp_mode)
 
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     z_new = S.sample_pdf(jax.random.PRNGKey(0), mids, w_c[..., 1:-1],
@@ -164,7 +180,7 @@ def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
 
     depth_f, _, flag_f = _pass(folded_fine, origins, dirs, z_fine, near_c,
                                far_c, seg_id, n_groups, valid, kernel, mcfg,
-                               epsilon, method, ray_chunk, use_pallas)
+                               epsilon, method, ray_chunk, mlp_mode)
     points_f = origins + depth_f[:, None] * dirs
     return points_f, flag_f, depth_f, depth_c
 
@@ -220,10 +236,21 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
     mcfg = eval_cfg.model
     if use_pallas is None:
         use_pallas = eval_cfg.use_pallas
-    if use_pallas:
+    if collapse_active(mcfg):
+        # affine collapse beats any full-MLP evaluation (one fused
+        # elementwise pass per sample) — it wins over the pallas kernel too
+        mlp_mode = "collapsed"
+        wc, bc = collapse_folded_params(folded_coarse, mcfg)
+        wf, bf = collapse_folded_params(folded_fine, mcfg)
+        folded_coarse = {"w_eff": wc, "b_eff": bc}
+        folded_fine = {"w_eff": wf, "b_eff": bf}
+    elif use_pallas:
         from pcnerf_tpu.ops.pallas_kernels import pad_folded_params
+        mlp_mode = "pallas"
         folded_coarse = pad_folded_params(folded_coarse, mcfg)
         folded_fine = pad_folded_params(folded_fine, mcfg)
+    else:
+        mlp_mode = "folded"
     kernel = jnp.asarray(scipy_gaussian_kernel1d(eval_cfg.smooth_sigma))
     bs = eval_cfg.batch_size
     # two static shapes: regular batches pad to bs + group-overflow slack;
@@ -244,7 +271,7 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
             mcfg=mcfg, n_samples=eval_cfg.n_samples,
             n_importance=eval_cfg.n_importance,
             method=eval_cfg.depth_inference_method, n_groups=rays_p.shape[0],
-            use_pallas=use_pallas)
+            mlp_mode=mlp_mode)
         pts = np.asarray(pts)[:n_real]
         flag = np.asarray(flag)[:n_real]
         kept.append(pts[flag])

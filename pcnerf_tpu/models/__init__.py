@@ -2,6 +2,7 @@ from pcnerf_tpu.models.embedding import embed_positions, embedding_dim  # noqa: 
 from pcnerf_tpu.models.nof import (  # noqa: F401
     collapse_active,
     collapse_eval_params,
+    collapse_folded_params,
     fold_batchnorm,
     init_nof,
     nof_apply,

@@ -300,6 +300,14 @@ def collapse_eval_params(params, bn_state, cfg: ModelConfig):
     return _fold_layers(params, bn_apply, d_in, cfg.use_skip, None)
 
 
+def collapse_folded_params(folded, cfg: ModelConfig):
+    """Collapse BN-folded eval params (``fold_batchnorm`` output) to
+    (w_eff, b_eff) — pure Linear chain, no BN left to apply."""
+    d_in = folded["layers"][0]["w"].shape[0]
+    return _fold_layers(folded, lambda i, A, c: (A, c), d_in,
+                        cfg.use_skip, None)
+
+
 def nof_apply_collapsed(w_eff, b_eff, x, cfg: ModelConfig):
     """sigmoid(x @ w_eff + b_eff) — the collapsed single-matvec forward."""
     logits = _dot(x.astype(jnp.float32), w_eff, cfg.compute_dtype) + b_eff

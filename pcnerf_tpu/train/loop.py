@@ -35,6 +35,7 @@ from pcnerf_tpu.train.system import (
 )
 from pcnerf_tpu.utils.ckpt import BestLastTracker, import_torch_ckpt
 from pcnerf_tpu.utils.logging import MetricLogger
+from pcnerf_tpu.utils.profiling import StepTimer, trace
 
 
 def run_validation(cfg: TrainConfig, state: TrainState, val_step, rays_val,
@@ -64,11 +65,15 @@ def run_validation(cfg: TrainConfig, state: TrainState, val_step, rays_val,
 def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         rebuild_data: bool = False, warm_start: Optional[str] = None,
         max_steps: Optional[int] = None, skip_sanity_val: bool = False,
-        verbose: bool = True) -> TrainState:
+        profile_steps: int = 0, verbose: bool = True) -> TrainState:
+    """Train; with ``profile_steps=N`` the first N post-warmup steps are
+    captured as a jax.profiler trace under ``<out_dir>/trace`` and per-step
+    timing percentiles land in ``<out_dir>/step_times.json``."""
     out_dir = out_dir or os.path.join("logs", cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
     tracker = BestLastTracker(os.path.join(out_dir, "checkpoints"))
+    timer = StepTimer()
 
     rays_tr, ranges_tr = load_or_build(cfg.data, "train", rebuild=rebuild_data)
     rays_v, ranges_v = load_or_build(cfg.data, "val", rebuild=rebuild_data)
@@ -114,8 +119,13 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
 
         for b in range(n_batches):
             k = jax.random.fold_in(key, step)
-            state, metrics = train_step(state, epoch_rays[b], epoch_ranges[b],
-                                        k, lr)
+            profiling = epoch == 0 and 1 <= step <= profile_steps
+            with trace(os.path.join(out_dir, "trace"), enabled=profiling):
+                with timer.step():
+                    state, metrics = train_step(state, epoch_rays[b],
+                                                epoch_ranges[b], k, lr)
+                if profiling or step % cfg.log_every == cfg.log_every - 1:
+                    timer.mark_complete(metrics["loss"])
             logger.log_step(step, metrics)
             step += 1
             if step % cfg.log_every == 0:
@@ -142,5 +152,6 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
 
     last = logger.flush()
     tracker.update(last.get("loss", float("inf")), state)
+    timer.save(os.path.join(out_dir, "step_times.json"))
     logger.close()
     return state

@@ -28,6 +28,9 @@ def main():
                    help="reference .ckpt for prefix-filtered warm start")
     p.add_argument("--rebuild-data", action="store_true")
     p.add_argument("--skip-sanity-val", action="store_true")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N "
+                        "post-warmup steps under <out>/trace")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
@@ -37,7 +40,7 @@ def main():
         cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
     fit(cfg, out_dir=a.out, rebuild_data=a.rebuild_data,
         warm_start=a.warm_start, max_steps=a.max_steps,
-        skip_sanity_val=a.skip_sanity_val)
+        skip_sanity_val=a.skip_sanity_val, profile_steps=a.profile_steps)
 
 
 if __name__ == "__main__":

@@ -79,3 +79,60 @@ def test_gamma_mask_closed_form_vs_loop():
         mismatch = (got != want.numpy()).sum(axis=-1)
         assert (mismatch <= 1).all(), f"gamma0={gamma0}: {mismatch.max()}"
         assert (got.sum(axis=-1) >= 1).all()
+
+
+def test_searchsorted_right_matches_numpy():
+    from pcnerf_tpu.ops.sampling import searchsorted_right
+
+    rng = np.random.default_rng(11)
+    cdf = np.sort(rng.uniform(0, 1, (8, 65)), axis=-1).astype(np.float32)
+    cdf[:, 0] = 0.0
+    # include exact ties to pin the right-side semantics
+    u_sorted = rng.uniform(0, 1, (8, 33)).astype(np.float32)
+    u_sorted[:, 5] = cdf[:, 10]
+    u_sorted = np.sort(u_sorted, axis=-1)
+    got = np.asarray(searchsorted_right(jnp.asarray(cdf), jnp.asarray(u_sorted),
+                                        u_is_sorted=True))
+    want = np.stack([np.searchsorted(c, v, side="right")
+                     for c, v in zip(cdf, u_sorted)])
+    np.testing.assert_array_equal(got, want)
+
+    u_rand = rng.uniform(0, 1, (8, 33)).astype(np.float32)
+    u_rand[:, 7] = cdf[:, 3]
+    got = np.asarray(searchsorted_right(jnp.asarray(cdf), jnp.asarray(u_rand),
+                                        u_is_sorted=False))
+    want = np.stack([np.searchsorted(c, v, side="right")
+                     for c, v in zip(cdf, u_rand)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_inverse_cdf_interp_matches_gather_formulation():
+    """Sort-native interpolation == the textbook searchsorted+gather one."""
+    from pcnerf_tpu.ops.sampling import inverse_cdf_interp
+
+    rng = np.random.default_rng(5)
+    R, M, K = 16, 65, 129
+    w = rng.uniform(0.0, 1.0, (R, M - 1)).astype(np.float32) + 1e-5
+    # flat regions to exercise the denom<1e-5 branch and duplicate cdf ties
+    w[:, 20:30] = 1e-12
+    pdf = w / w.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((R, 1), np.float32),
+                          np.cumsum(pdf, -1)], -1)
+    bins = np.sort(rng.uniform(0, 50, (R, M)), -1).astype(np.float32)
+    for u in (np.broadcast_to(np.linspace(0, 1, K, dtype=np.float32), (R, K)),
+              rng.uniform(0, 1, (R, K)).astype(np.float32)):
+        inds = np.stack([np.searchsorted(c, v, side="right")
+                         for c, v in zip(cdf, u)])
+        below = np.maximum(inds - 1, 0)
+        above = np.minimum(inds, M - 1)
+        cdf_b = np.take_along_axis(cdf, below, -1)
+        cdf_a = np.take_along_axis(cdf, above, -1)
+        bin_b = np.take_along_axis(bins, below, -1)
+        bin_a = np.take_along_axis(bins, above, -1)
+        denom = cdf_a - cdf_b
+        denom[denom < 1e-5] = 1.0
+        want = bin_b + (u - cdf_b) / denom * (bin_a - bin_b)
+        got = np.asarray(inverse_cdf_interp(jnp.asarray(cdf),
+                                            jnp.asarray(bins),
+                                            jnp.asarray(u)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
