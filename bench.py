@@ -28,9 +28,11 @@ import time
 
 import numpy as np
 
+import os
+
 REFERENCE_RAYS_PER_S = 1000.0  # documented estimate, see module docstring
-BATCH = 1024
-STEPS = 30
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 
 
 def main():
