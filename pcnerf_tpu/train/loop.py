@@ -65,10 +65,17 @@ def run_validation(cfg: TrainConfig, state: TrainState, val_step, rays_val,
 def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         rebuild_data: bool = False, warm_start: Optional[str] = None,
         max_steps: Optional[int] = None, skip_sanity_val: bool = False,
-        profile_steps: int = 0, verbose: bool = True) -> TrainState:
+        profile_steps: int = 0, resume: bool = False,
+        verbose: bool = True) -> TrainState:
     """Train; with ``profile_steps=N`` the first N post-warmup steps are
     captured as a jax.profiler trace under ``<out_dir>/trace`` and per-step
-    timing percentiles land in ``<out_dir>/step_times.json``."""
+    timing percentiles land in ``<out_dir>/step_times.json``.
+
+    ``resume=True`` restores ``<out_dir>/checkpoints/last`` (params, BN,
+    optimizer state, step counter) and fast-forwards to the interrupted
+    step — the data order is deterministic per (seed, epoch), so a resumed
+    run consumes the same remaining batches a crash-free run would have.
+    No-op if no checkpoint exists yet."""
     out_dir = out_dir or os.path.join("logs", cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
@@ -85,6 +92,17 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
 
     key = jax.random.PRNGKey(cfg.seed)
     state = init_train_state(key, cfg)
+    resume_step = 0
+    if resume:
+        from pcnerf_tpu.utils.ckpt import restore
+        last = os.path.join(out_dir, "checkpoints", "last")
+        if os.path.exists(last):
+            state = restore(last, state)
+            resume_step = int(state.step)
+            skip_sanity_val = skip_sanity_val or resume_step > 0
+            if verbose:
+                print(f"[fit] resumed from {last} at step {resume_step}",
+                      flush=True)
     if warm_start:
         # reference warm start: load_ckpt merges prefix-filtered torch state
         # (train_kitti.py:32-36)
@@ -107,6 +125,9 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
     step = 0
     t0 = time.time()
     for epoch in range(cfg.num_epochs):
+        if (epoch + 1) * n_batches <= resume_step:
+            step = (epoch + 1) * n_batches   # epoch fully covered pre-resume
+            continue
         lr = jnp.float32(lr_at_epoch(cfg, epoch))
         perm = np.random.default_rng(cfg.seed + epoch).permutation(
             rays_tr.shape[0])[:n_batches * cfg.batch_size]
@@ -118,6 +139,9 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             n_batches, cfg.batch_size)
 
         for b in range(n_batches):
+            if step < resume_step:
+                step += 1
+                continue
             k = jax.random.fold_in(key, step)
             profiling = epoch == 0 and 1 <= step <= profile_steps
             with trace(os.path.join(out_dir, "trace"), enabled=profiling):

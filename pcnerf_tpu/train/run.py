@@ -31,6 +31,9 @@ def main():
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N "
                         "post-warmup steps under <out>/trace")
+    p.add_argument("--resume", action="store_true",
+                   help="restore <out>/checkpoints/last and continue at the "
+                        "interrupted step")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
@@ -40,7 +43,8 @@ def main():
         cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
     fit(cfg, out_dir=a.out, rebuild_data=a.rebuild_data,
         warm_start=a.warm_start, max_steps=a.max_steps,
-        skip_sanity_val=a.skip_sanity_val, profile_steps=a.profile_steps)
+        skip_sanity_val=a.skip_sanity_val, profile_steps=a.profile_steps,
+        resume=a.resume)
 
 
 if __name__ == "__main__":

@@ -59,3 +59,25 @@ def test_fit_smoke_end_to_end(tmp_path):
 
     # the reference's loss-curve artifacts exist (train_kitti.py:183-189)
     assert os.path.exists(os.path.join(out, "ploty1.npy"))
+
+
+@pytest.mark.skipif(not _HAVE_CACHE, reason="no cached MaiCity ray buffers")
+def test_fit_resume_continues_from_last(tmp_path):
+    cfg = dataclasses.replace(
+        CFG,
+        batch_size=128, batch_size_val=128, num_epochs=1, log_every=2,
+        model=ModelConfig(compute_dtype="float32"),
+        render=RenderConfig(n_samples=16, n_importance=32, perturb=1.0),
+        data=dataclasses.replace(CFG.data, cloud_size_val=256),
+    )
+    out = str(tmp_path / "run")
+    s1 = fit(cfg, out_dir=out, max_steps=4, skip_sanity_val=True,
+             verbose=False)
+    assert int(s1.step) == 4
+    s2 = fit(cfg, out_dir=out, max_steps=6, skip_sanity_val=True,
+             resume=True, verbose=False)
+    assert int(s2.step) == 6
+    # optimizer state advanced, not re-initialized: Adam counter == step
+    counts = [st.count for st in s2.opt_state
+              if type(st).__name__ == "ScaleByAdamState"]
+    assert counts and int(counts[0]) == 6
