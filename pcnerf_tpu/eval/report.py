@@ -19,17 +19,23 @@ import os
 
 import numpy as np
 
+from pcnerf_tpu.config import FrameSplit
 from pcnerf_tpu.data.pcd_io import read_pcd
 from pcnerf_tpu.eval.metrics import chamfer_fscore
 
 
 def error_metrics(result_dir: str, version: str, method: str,
                   start: int, end: int, threshold: float = 0.2,
-                  *, use_device: bool = True, test_offset: int = 3,
-                  test_mod: int = 5, verbose: bool = True):
+                  *, use_device: bool = True,
+                  split: FrameSplit = FrameSplit(), verbose: bool = True,
+                  save: bool = True):
+    """Score the test frames selected by ``split`` (default: the 20% preset,
+    reproducing print_metrics.py's hardcoded ``(j+1-3)%5==0``).  Any
+    SPARSITY_PRESETS key works — the reference's sparsity study
+    (``README.md:56-104``) required editing three source files to change it."""
     rows = []
     for j in range(start, end):
-        if (j + 1 - test_offset) % test_mod != 0:
+        if not split.is_test_frame(j, start):
             continue
         frame = j + 1
         gt = read_pcd(os.path.join(result_dir, "source", f"{frame}_source.pcd"))
@@ -56,9 +62,10 @@ def error_metrics(result_dir: str, version: str, method: str,
     if verbose:
         print(("\t{:>10}" * 4).format("Avg. Error", "Acc", "CD", "F"))
         print(("\t{: 10.6f}" * 4).format(*mean))
-    metrics_np = np.zeros((110, 4))
-    metrics_np[:arr.shape[0]] = arr
-    np.save(os.path.join(result_dir, f"{version}_metric_tmp"), metrics_np)
+    if save:
+        metrics_np = np.zeros((110, 4))
+        metrics_np[:arr.shape[0]] = arr
+        np.save(os.path.join(result_dir, f"{version}_metric_tmp"), metrics_np)
     return {"avg_error": float(mean[0]), "acc": float(mean[1]),
             "cd": float(mean[2]), "fscore": float(mean[3]),
             "per_frame": rows}
@@ -75,9 +82,13 @@ def main():
     p.add_argument("--threshold", type=float, default=0.2)
     p.add_argument("--cpu", action="store_true",
                    help="use the native CPU NN instead of the device path")
+    p.add_argument("--sparsity", default="20",
+                   help="SPARSITY_PRESETS key selecting which frames are "
+                        "test frames (default 20)")
     a = p.parse_args()
     error_metrics(a.result_dir, a.version, a.method, a.start, a.end,
-                  a.threshold, use_device=not a.cpu)
+                  a.threshold, use_device=not a.cpu,
+                  split=FrameSplit(sparsity=a.sparsity))
 
 
 if __name__ == "__main__":

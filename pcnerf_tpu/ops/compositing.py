@@ -109,14 +109,46 @@ def _smooth_l1(pred, target):
     return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
 
 
+def segment_sums_counts(values, child_ids, n_segments: int, axis_name=None):
+    """Per-child (sum, count) of ``values``; global over the dp axis when
+    ``axis_name`` is set (one psum over the (n_segments,) pair — counts ride
+    the same all-reduce as sums)."""
+    seg = jnp.round(child_ids).astype(jnp.int32)
+    sums = jax.ops.segment_sum(values, seg, num_segments=n_segments)
+    counts = jax.ops.segment_sum(jnp.ones_like(values), seg,
+                                 num_segments=n_segments)
+    if axis_name is not None:
+        sums, counts = jax.lax.psum((sums, counts), axis_name)
+    return sums, counts
+
+
+def grad_psum_compensate(x, axis_name):
+    """Make a globally-valued (replicated) loss compose with a pmean-of-grads
+    train step.
+
+    A divide loss built from psum'd segment sums already *equals* the global
+    loss on every shard, but each shard's gradient only carries its local
+    rays' contribution — the step's ``pmean`` over dp would then shrink the
+    true gradient by 1/n_dp.  Returning ``n*x - (n-1)*stop_grad(x)`` keeps
+    the value at ``x`` while scaling the gradient by ``n``, so
+    pmean(grads) == the exact single-chip gradient.
+    """
+    if axis_name is None:
+        return x
+    n = jax.lax.psum(1, axis_name)
+    return x * n - jax.lax.stop_gradient(x) * (n - 1)
+
+
 def child_free_loss(weights, free_mask, child_ids, sub_nerf_count: int,
-                    *, divide: bool, n_total=None):
+                    *, divide: bool, n_total=None, axis_name=None):
     """Mean squared out-of-child weight mass (render.py:102-125).
 
     Non-divide: sum(square(w_outside)) / N_rays.
     Divide: per child id c, sum over that child's rays of square(w_outside)
     divided by the ray count, summed over children with >= 1 ray — the
-    reference's O(sub_nerf_count) Python loop as one ``segment_sum``.
+    reference's O(sub_nerf_count) Python loop as one ``segment_sum``.  Under
+    dp (``axis_name``) the segment sums and counts are psum'd first, so the
+    grouping is over the *global* batch exactly as on a single chip.
     """
     w_free = weights * (~free_mask).astype(weights.dtype)
     per_ray = jnp.sum(w_free * w_free, axis=-1)
@@ -124,22 +156,21 @@ def child_free_loss(weights, free_mask, child_ids, sub_nerf_count: int,
         # local sum over LOCAL count: sum_local/n_local pmean-reduces to the
         # reference's sum_global/free_num (render.py:121) under equal shards
         return jnp.sum(per_ray) / weights.shape[0]
-    seg = jnp.round(child_ids).astype(jnp.int32)
-    sums = jax.ops.segment_sum(per_ray, seg, num_segments=sub_nerf_count + 1)
-    counts = jax.ops.segment_sum(jnp.ones_like(per_ray), seg,
-                                 num_segments=sub_nerf_count + 1)
+    sums, counts = segment_sums_counts(per_ray, child_ids,
+                                       sub_nerf_count + 1, axis_name)
     valid = counts >= 1
-    return jnp.sum(jnp.where(valid, sums / jnp.maximum(counts, 1.0), 0.0)[1:])
+    out = jnp.sum(jnp.where(valid, sums / jnp.maximum(counts, 1.0), 0.0)[1:])
+    return grad_psum_compensate(out, axis_name)
 
 
 def child_depth_loss(weights, depth_mask, z_vals, ranges, child_ids,
                      sub_nerf_count: int, *, divide: bool,
-                     epsilon: float = 1e-10, n_total=None):
+                     epsilon: float = 1e-10, n_total=None, axis_name=None):
     """Child-masked renormalized depth vs. measured range (render.py:127-159).
 
     depth_c = sum(normalize(w * mask) * z * mask); loss contribution is
     0.1/N * SmoothL1(10*depth_c, 10*range) (mean semantics preserved in both
-    grouping modes).
+    grouping modes; divide mode groups over the global batch under dp).
     """
     m = depth_mask.astype(weights.dtype)
     w_child = weights * m
@@ -151,11 +182,9 @@ def child_depth_loss(weights, depth_mask, z_vals, ranges, child_ids,
         # 1/near_num uses the GLOBAL batch size (render.py:131,:155); the
         # local mean is over local rays, whose pmean is the global mean
         return 0.1 / n * jnp.mean(elems)
-    seg = jnp.round(child_ids).astype(jnp.int32)
-    sums = jax.ops.segment_sum(elems, seg, num_segments=sub_nerf_count + 1)
-    counts = jax.ops.segment_sum(jnp.ones_like(elems), seg,
-                                 num_segments=sub_nerf_count + 1)
+    sums, counts = segment_sums_counts(elems, child_ids,
+                                       sub_nerf_count + 1, axis_name)
     valid = counts >= 1
     # reference: (1/count) * 0.1 * mean over the group == 0.1 * sum / count^2
     per_child = jnp.where(valid, 0.1 * sums / jnp.maximum(counts, 1.0) ** 2, 0.0)
-    return jnp.sum(per_child[1:])
+    return grad_psum_compensate(jnp.sum(per_child[1:]), axis_name)

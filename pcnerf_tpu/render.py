@@ -90,10 +90,6 @@ def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
     depth = C.composite_depth(w, z_vals)
 
     if lcfg.use_child_nerf_loss:
-        if lcfg.use_child_nerf_divide and axis_name is not None:
-            raise NotImplementedError(
-                "per-child divide losses are single-shard for now; run with "
-                "dp=1 or use_child_nerf_divide=False")
         n_total = z_vals.shape[0]
         if axis_name is not None:
             n_total = n_total * jax.lax.psum(1, axis_name)
@@ -105,11 +101,12 @@ def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
             gamma0=rcfg.child_mask_gamma0, gamma_step=rcfg.child_mask_gamma_step)
         free = C.child_free_loss(w, free_mask, rb.child_id, lcfg.sub_nerf_count,
                                  divide=lcfg.use_child_nerf_divide,
-                                 n_total=n_total)
+                                 n_total=n_total, axis_name=axis_name)
         depth_l = C.child_depth_loss(w, depth_mask, z_vals, rb.ranges,
                                      rb.child_id, lcfg.sub_nerf_count,
                                      divide=lcfg.use_child_nerf_divide,
-                                     epsilon=rcfg.epsilon, n_total=n_total)
+                                     epsilon=rcfg.epsilon, n_total=n_total,
+                                     axis_name=axis_name)
     else:
         free = jnp.zeros((), jnp.float32)
         depth_l = jnp.zeros((), jnp.float32)

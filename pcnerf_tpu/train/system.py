@@ -66,12 +66,18 @@ def init_train_state(key, cfg: TrainConfig) -> TrainState:
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def _scene_range_loss(pred, pred_fine, gt, child_ids, cfg: TrainConfig):
+def _scene_range_loss(pred, pred_fine, gt, child_ids, cfg: TrainConfig,
+                      axis_name=None):
     """Scene-level depth losses (train_kitti.py:127-146).
 
     Non-divide quirk preserved: the fine branch is weighted by ``lambda_loss``
-    (not ``lambda_loss_fine``) exactly as in train_kitti.py:146.
+    (not ``lambda_loss_fine``) exactly as in train_kitti.py:146.  The divide
+    path groups over the *global* batch under dp (psum'd segment sums, with
+    the grad-scale compensation so pmean(grads) stays exact — see
+    ops/compositing.py).
     """
+    from pcnerf_tpu.ops.compositing import (grad_psum_compensate,
+                                            segment_sums_counts)
     loss_fn = nof_loss[cfg.loss.loss_type]
     L = cfg.loss
     if not L.use_child_nerf_divide:
@@ -79,16 +85,14 @@ def _scene_range_loss(pred, pred_fine, gt, child_ids, cfg: TrainConfig):
         lrf = 0.1 * L.lambda_loss * loss_fn(10.0 * pred_fine, 10.0 * gt)
         return lr_, lrf
 
-    seg = jnp.round(child_ids).astype(jnp.int32)
     n_seg = L.sub_nerf_count + 1
 
     def grouped(p):
         d = jnp.abs(10.0 * p - 10.0 * gt)
         e = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)   # smoothl1 elements
-        sums = jax.ops.segment_sum(e, seg, num_segments=n_seg)
-        counts = jax.ops.segment_sum(jnp.ones_like(e), seg, num_segments=n_seg)
+        sums, counts = segment_sums_counts(e, child_ids, n_seg, axis_name)
         means = jnp.where(counts >= 1, sums / jnp.maximum(counts, 1.0), 0.0)
-        return jnp.sum(means[1:])
+        return grad_psum_compensate(jnp.sum(means[1:]), axis_name)
 
     lr_ = 0.1 * L.lambda_loss * grouped(pred)
     lrf = 0.1 * L.lambda_loss_fine * grouped(pred_fine)
@@ -110,7 +114,7 @@ def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
                                 axis_name=axis_name, tp_axis=tp_axis)
         child_ids = rays[:, 9]
         lr_, lrf = _scene_range_loss(out["depth"], out["depth_fine"], gt,
-                                     child_ids, cfg)
+                                     child_ids, cfg, axis_name)
         L = cfg.loss
         total = (lr_ + lrf
                  + L.lambda_child_free * (out["child_free_loss"]

@@ -62,7 +62,7 @@ def main():
     res = error_metrics(result_dir, a.version,
                         "two-step" if a.method == 2 else "one-step",
                         cfg.data.data_start, cfg.data.data_end,
-                        use_device=False)
+                        use_device=False, split=cfg.data.split)
     print(json.dumps({k: v for k, v in res.items() if k != "per_frame"}))
 
 

@@ -77,6 +77,53 @@ def test_sharded_step_matches_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_divide_losses_match_single_chip_under_dp():
+    """use_child_nerf_divide=True under dp: the per-child grouping must run
+    over the GLOBAL batch (psum'd segment sums/counts) and the pmean'd
+    gradient must equal the single-chip gradient (VERDICT round-1 #5).
+
+    The child distribution is deliberately nonuniform: most rays land in
+    child 1, several children appear on only one shard, child 16 never
+    appears — exercising the count>=1 guards across shard boundaries."""
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, use_child_nerf_divide=True,
+                                      lambda_child_free=1e3,
+                                      lambda_child_depth=1e2))
+    rays, gt = _batch(cfg, seed=7)
+    # nonuniform children: half the batch in child 1, a few singletons
+    ids = np.asarray(rays[:, 9]).copy()
+    ids[: cfg.batch_size // 2] = 1
+    ids[cfg.batch_size // 2:cfg.batch_size // 2 + 5] = [11, 12, 13, 14, 15]
+    rays = rays.at[:, 9].set(jnp.asarray(ids))
+
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(5e-4)
+    single = make_train_step(cfg)
+    s1, m1 = single(init_train_state(jax.random.PRNGKey(1), cfg),
+                    rays, gt, key, lr)
+
+    mesh = make_mesh(8, tp=1)
+    step = make_sharded_train_step(cfg, mesh)
+    state0 = shard_train_state(init_train_state(jax.random.PRNGKey(1), cfg),
+                               mesh)
+    s2, m2 = step(state0, rays, gt, key, lr)
+
+    for k in ("loss", "loss_range", "child_free_loss", "child_depth_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4,
+                                   err_msg=k)
+    for i in (0, 3, 7):
+        np.testing.assert_allclose(
+            np.asarray(s1.params["coarse"]["layers"][i]["w"]),
+            np.asarray(s2.params["coarse"]["layers"][i]["w"]),
+            atol=2e-5, err_msg=f"layer {i}")
+    np.testing.assert_allclose(np.asarray(s1.params["fine"]["head"]["w"]),
+                               np.asarray(s2.params["fine"]["head"]["w"]),
+                               atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dp_only_mesh():
     cfg = _cfg()
     rays, gt = _batch(cfg, seed=3)
