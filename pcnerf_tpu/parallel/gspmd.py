@@ -1,0 +1,67 @@
+"""GSPMD data-parallel training: the single-chip train/val step jitted with
+sharding annotations over a ``('dp', 'tp')`` mesh.
+
+This is ``fit()``'s default multi-device path (train/loop.py) and the
+scaling-book recipe applied: annotate the ray batch as sharded over ``dp``
+and the parameters as replicated, and let XLA's SPMD partitioner insert the
+collectives — the gradient all-reduce, the global BatchNorm batch-statistics
+reduction (sync BN), and the psum'd per-child segment sums all fall out of
+partitioning the single-chip program.  (Reference counterpart: none — the
+reference is pinned to one GPU, ``train_kitti.py:287-288``; SURVEY.md §2.4
+names this the new capability to build.)
+
+Why this instead of the explicit ``shard_map`` step (sharded.py) inside
+``fit()``:
+
+- **bit-identical semantics by construction**: the program is the global
+  single-chip program; losses, BN statistics and per-child groupings are
+  global-batch quantities with no local-mean reassembly, and partitionable
+  threefry makes every ``jax.random`` draw sharding-invariant, so an
+  N-device run reproduces the 1-device loss sequence step for step;
+- the optimizer update stays fully local (replicated params, replicated
+  Adam moments) with exactly one gradient all-reduce per step over ICI.
+
+The ``shard_map`` path remains for explicit tensor parallelism (column/row
+MLP sharding with per-layer psums) and as an independent cross-check in
+tests/test_sharding.py.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pcnerf_tpu.config import TrainConfig
+from pcnerf_tpu.train.system import TrainState, make_train_step, make_val_step
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState fully replicated on the mesh."""
+    return jax.device_put(state, NamedSharding(mesh, P()))
+
+
+def make_gspmd_train_step(cfg: TrainConfig, mesh: Mesh):
+    """(state, rays, gt, key, lr) -> (state, metrics), rays/gt sharded over
+    ``dp``, everything else replicated.  Identical math to the single-chip
+    step — same function, partitioned by XLA."""
+    raw = make_train_step(cfg, jit=False)
+    repl = NamedSharding(mesh, P())
+    rays_s = NamedSharding(mesh, P("dp", None))
+    gt_s = NamedSharding(mesh, P("dp"))
+    return jax.jit(raw,
+                   in_shardings=(repl, rays_s, gt_s, repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def make_gspmd_val_step(cfg: TrainConfig, mesh: Mesh):
+    """Validation step over the mesh; predicted/gt points come back sharded
+    over ``dp`` (they are only ever fetched to host for CD/F)."""
+    raw = make_val_step(cfg, jit=False)
+    repl = NamedSharding(mesh, P())
+    rays_s = NamedSharding(mesh, P("dp", None))
+    gt_s = NamedSharding(mesh, P("dp"))
+    pts_s = NamedSharding(mesh, P("dp", None))
+    return jax.jit(raw,
+                   in_shardings=(repl, rays_s, gt_s, repl),
+                   out_shardings=(repl, pts_s, pts_s))

@@ -49,8 +49,10 @@ def run_validation(cfg: TrainConfig, state: TrainState, val_step, rays_val,
     metrics_acc, cds, fs = [], [], []
     for s in range(0, n, bs):
         k = jax.random.fold_in(key, s)
-        m, pred_pts, gt_pts = val_step(state, jnp.asarray(rays_val[s:s + bs]),
-                                       jnp.asarray(ranges_val[s:s + bs]), k)
+        # numpy slices go straight to the jitted step: uncommitted inputs are
+        # placed per the step's in_shardings (single device or dp mesh alike)
+        m, pred_pts, gt_pts = val_step(state, rays_val[s:s + bs],
+                                       ranges_val[s:s + bs], k)
         metrics_acc.append(m)
         cd, f = chamfer_fscore(np.asarray(pred_pts), np.asarray(gt_pts))
         cds.append(cd)
@@ -66,7 +68,7 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         rebuild_data: bool = False, warm_start: Optional[str] = None,
         max_steps: Optional[int] = None, skip_sanity_val: bool = False,
         profile_steps: int = 0, resume: bool = False,
-        verbose: bool = True) -> TrainState:
+        mesh: object = "auto", verbose: bool = True) -> TrainState:
     """Train; with ``profile_steps=N`` the first N post-warmup steps are
     captured as a jax.profiler trace under ``<out_dir>/trace`` and per-step
     timing percentiles land in ``<out_dir>/step_times.json``.
@@ -75,7 +77,15 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
     optimizer state, step counter) and fast-forwards to the interrupted
     step — the data order is deterministic per (seed, epoch), so a resumed
     run consumes the same remaining batches a crash-free run would have.
-    No-op if no checkpoint exists yet."""
+    No-op if no checkpoint exists yet.
+
+    ``mesh``: ``"auto"`` (default) trains data-parallel over ALL visible
+    devices via the GSPMD step (parallel/gspmd.py) whenever more than one
+    device is present and the batch sizes divide evenly — falling back to
+    the single-chip step otherwise; pass an explicit ``jax.sharding.Mesh``
+    to pin the layout, or ``None`` to force single-device.  The N-device
+    run is step-for-step identical to the 1-device run (global-batch
+    losses/BN, sharding-invariant RNG); tests/test_fit_mesh.py asserts it."""
     out_dir = out_dir or os.path.join("logs", cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricLogger(out_dir)
@@ -103,6 +113,14 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             if verbose:
                 print(f"[fit] resumed from {last} at step {resume_step}",
                       flush=True)
+    if warm_start and resume_step > 0:
+        # a restored checkpoint wins over warm_start: overwriting the restored
+        # params while keeping the restored optimizer state / step counter
+        # would be an inconsistent hybrid
+        if verbose:
+            print("[fit] warm_start ignored: resumed from a checkpoint",
+                  flush=True)
+        warm_start = None
     if warm_start:
         # reference warm start: load_ckpt merges prefix-filtered torch state
         # (train_kitti.py:32-36)
@@ -111,8 +129,25 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         state = state._replace(params={"coarse": pc, "fine": pf},
                                bn={"coarse": bc, "fine": bf})
 
-    train_step = make_train_step(cfg)
-    val_step = make_val_step(cfg)
+    if mesh == "auto":
+        n_dev = len(jax.devices())
+        mesh = None
+        if (n_dev > 1 and cfg.batch_size % n_dev == 0
+                and cfg.batch_size_val % n_dev == 0):
+            from pcnerf_tpu.parallel import make_mesh
+            mesh = make_mesh(n_dev, tp=1)
+    if mesh is not None:
+        from pcnerf_tpu.parallel import (make_gspmd_train_step,
+                                         make_gspmd_val_step, replicate_state)
+        state = replicate_state(state, mesh)
+        train_step = make_gspmd_train_step(cfg, mesh)
+        val_step = make_gspmd_val_step(cfg, mesh)
+        if verbose:
+            print(f"[fit] data-parallel over {mesh.devices.size} devices "
+                  f"(GSPMD dp mesh)", flush=True)
+    else:
+        train_step = make_train_step(cfg)
+        val_step = make_val_step(cfg)
 
     if not skip_sanity_val:
         m = run_validation(cfg, state, val_step, rays_val, ranges_val,
@@ -132,11 +167,17 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         perm = np.random.default_rng(cfg.seed + epoch).permutation(
             rays_tr.shape[0])[:n_batches * cfg.batch_size]
         perm = perm.reshape(n_batches, cfg.batch_size)
-        # ship the epoch's shuffled buffer to device once
-        epoch_rays = jnp.asarray(rays_tr[perm.reshape(-1)]).reshape(
+        epoch_rays = rays_tr[perm.reshape(-1)].reshape(
             n_batches, cfg.batch_size, 15)
-        epoch_ranges = jnp.asarray(ranges_tr[perm.reshape(-1)]).reshape(
+        epoch_ranges = ranges_tr[perm.reshape(-1)].reshape(
             n_batches, cfg.batch_size)
+        if mesh is None:
+            # ship the epoch's shuffled buffer to device once (per-step host
+            # transfers cost real latency through a tunneled backend)
+            epoch_rays = jnp.asarray(epoch_rays)
+            epoch_ranges = jnp.asarray(epoch_ranges)
+        # under a mesh the buffers stay on host: each numpy batch slice is
+        # placed per the GSPMD step's dp in_shardings at dispatch (KBs/step)
 
         for b in range(n_batches):
             if step < resume_step:

@@ -100,11 +100,12 @@ def _scene_range_loss(pred, pred_fine, gt, child_ids, cfg: TrainConfig,
 
 
 def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
-                    donate: bool = True):
+                    donate: bool = True, jit: bool = True):
     """Build the jitted train step.  With ``axis_name`` set, gradients and BN
     statistics are psum/pmean-reduced over that mesh axis; ``tp_axis``
     additionally runs the MLP tensor-parallel (for use under ``shard_map``;
-    see pcnerf_tpu/parallel)."""
+    see pcnerf_tpu/parallel).  ``jit=False`` returns the raw function (for
+    wrapping in a mesh-annotated jit, parallel/gspmd.py)."""
     tx = make_optimizer(cfg)
 
     def loss_and_metrics(params, bn, rays, gt, key):
@@ -146,18 +147,19 @@ def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
         return TrainState(new_params, new_bn, opt_state, state.step + 1), metrics
 
     if axis_name is None:
+        if not jit:
+            return train_step
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
     return train_step
 
 
-def make_val_step(cfg: TrainConfig):
+def make_val_step(cfg: TrainConfig, *, jit: bool = True):
     """Validation step: fine depth, loss/abs/acc (train_kitti.py:208-258).
     CD/F-score are computed separately by :mod:`pcnerf_tpu.eval.metrics`
     on-device."""
 
     loss_fn = nof_loss[cfg.loss.loss_type]
 
-    @jax.jit
     def val_step(state: TrainState, rays, gt, key):
         out = render_rays_val(state.params["coarse"], state.bn["coarse"],
                               state.params["fine"], state.bn["fine"],
@@ -173,4 +175,4 @@ def make_val_step(cfg: TrainConfig):
         gt_pts = rb_o + rb_d * gt[:, None]
         return metrics, pred_pts, gt_pts
 
-    return val_step
+    return jax.jit(val_step) if jit else val_step

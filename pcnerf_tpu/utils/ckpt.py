@@ -39,18 +39,33 @@ def restore(path: str, abstract_state: Any) -> Any:
 
 class BestLastTracker:
     """Reference checkpoint policy: monitor train/loss, keep best + last
-    (train_kitti.py:275-276)."""
+    (train_kitti.py:275-276).
+
+    The best loss is persisted in a ``best.json`` sidecar so a resumed run
+    keeps competing against the pre-crash best instead of overwriting
+    ``checkpoints/best`` with its first (possibly worse) flush."""
 
     def __init__(self, ckpt_dir: str):
         self.dir = ckpt_dir
         self.best = float("inf")
         os.makedirs(ckpt_dir, exist_ok=True)
+        sidecar = os.path.join(ckpt_dir, "best.json")
+        if os.path.exists(sidecar):
+            try:
+                import json
+                with open(sidecar) as f:
+                    self.best = float(json.load(f)["best"])
+            except Exception:
+                pass
 
     def update(self, loss: float, state: Any) -> None:
         save(os.path.join(self.dir, "last"), state)
         if loss < self.best:
             self.best = loss
             save(os.path.join(self.dir, "best"), state)
+            import json
+            with open(os.path.join(self.dir, "best.json"), "w") as f:
+                json.dump({"best": self.best}, f)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,20 @@ class MetricLogger:
         self._pending: List[Dict] = []   # device-scalar dicts, not yet fetched
         self._steps: List[int] = []
         self._rows: List[Dict] = []
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        # on resume, reload prior train rows so the reference-layout curve
+        # artifacts (ploty*.npy) keep their pre-crash prefix instead of being
+        # truncated to post-resume steps (metrics.jsonl itself appends)
+        if os.path.exists(jsonl_path):
+            try:
+                with open(jsonl_path) as f:
+                    for line in f:
+                        row = json.loads(line)
+                        if "loss" in row:   # train rows only (val rows use val/)
+                            self._rows.append(row)
+            except Exception:
+                self._rows = []
+        self._jsonl = open(jsonl_path, "a")
         self._tb = None
         if use_tensorboard:
             try:
