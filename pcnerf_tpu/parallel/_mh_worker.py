@@ -1,0 +1,108 @@
+"""Worker process for the 2-process multi-host test (tests/test_multihost.py).
+
+Usage (spawned by the test, one per process):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python -m pcnerf_tpu.parallel._mh_worker <coordinator> <nprocs> <pid> <out>
+
+Initializes the distributed runtime, builds a mesh over the GLOBAL devices,
+runs N_STEPS of fit()'s GSPMD train step with per-host-sharded batches from
+a deterministic global shuffle, and writes the per-step losses to
+``<out>/loss_<pid>.json``.
+"""
+
+import json
+import os
+import sys
+
+
+N_STEPS = 3
+BATCH = 64
+N_RAYS = 512
+SEED = 42
+
+
+def _synthetic(n, n_children, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    r = rng.uniform(10, 40, n).astype(np.float32)
+    rays = np.zeros((n, 15), np.float32)
+    rays[:, 3:6] = dirs
+    rays[:, 7] = 60.0
+    rays[:, 8] = 3
+    rays[:, 9] = rng.integers(1, n_children + 1, n)
+    rays[:, 10] = r - 1.0
+    rays[:, 11] = r + 1.0
+    rays[:, 12] = r - 0.05
+    rays[:, 13] = r + 1.0
+    rays[:, 14] = r
+    return rays, r
+
+
+def run(mesh_or_none, out_path: str, tag: str) -> None:
+    """Shared driver: steps are identical with or without a mesh, so the
+    single-process reference run reuses this exact function."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pcnerf_tpu.config import (LossConfig, ModelConfig, RenderConfig,
+                                   TrainConfig)
+    from pcnerf_tpu.train import init_train_state, make_train_step
+
+    cfg = TrainConfig(
+        batch_size=BATCH,
+        model=ModelConfig(feature_size=64, n_freq=4),
+        render=RenderConfig(n_samples=16, n_importance=32, perturb=1.0),
+        loss=LossConfig(sub_nerf_count=16),
+    )
+    rays, ranges = _synthetic(N_RAYS, 16, SEED)
+    state = init_train_state(jax.random.PRNGKey(1), cfg)
+    key = jax.random.PRNGKey(SEED)
+    lr = jnp.float32(5e-4)
+
+    if mesh_or_none is not None:
+        from pcnerf_tpu.parallel.gspmd import make_gspmd_train_step
+        from pcnerf_tpu.parallel.multihost import (epoch_permutation,
+                                                   host_shard_batch,
+                                                   replicate_tree)
+        mesh = mesh_or_none
+        state = replicate_tree(mesh, state)
+        step = make_gspmd_train_step(cfg, mesh)
+    else:
+        from pcnerf_tpu.parallel.multihost import epoch_permutation
+        step = make_train_step(cfg)
+
+    perm = epoch_permutation(SEED, 0, N_RAYS)
+    losses = []
+    for b in range(N_STEPS):
+        sel = perm[b * BATCH:(b + 1) * BATCH]
+        rb, gb = rays[sel], ranges[sel]
+        if mesh_or_none is not None:
+            rb, gb = host_shard_batch(mesh, rb, gb)
+        k = jax.random.fold_in(key, b)
+        state, metrics = step(state, rb, gb, k, lr)
+        losses.append(float(metrics["loss"]))   # replicated -> addressable
+
+    with open(out_path, "w") as f:
+        json.dump({"tag": tag, "losses": losses}, f)
+
+
+def main():
+    coordinator, nprocs, pid, out_dir = sys.argv[1:5]
+    nprocs, pid = int(nprocs), int(pid)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+
+    from pcnerf_tpu.parallel import make_mesh
+    mesh = make_mesh(tp=1)   # all global devices
+    run(mesh, os.path.join(out_dir, f"loss_{pid}.json"), f"proc{pid}")
+
+
+if __name__ == "__main__":
+    main()
