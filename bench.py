@@ -3,15 +3,22 @@ the KITTI-00 flagship configuration.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline derivation (documented, since the reference publishes no training
-throughput): the reference trains on an RTX3090-class GPU
-(README.md:155-156) at batch 256 rays, 768 coarse + 1536 importance samples.
-Its per-step critical path includes per-ray Python while-loops for the child
-masks and a chunked MLP; per-frame eval wall times implied by
-tool_script/avg_time.py (~72 s/frame at 290k rows) put its end-to-end
-renderer near 1e3 rays/s.  We take REFERENCE_RAYS_PER_S = 1000 as the
-baseline estimate for fwd+bwd training throughput; vs_baseline = ours / that
-estimate.
+Baseline derivation — two anchors, labeled by kind:
+
+- MEASURED: ``scripts/bench_torch_oracle.py`` runs one full
+  reference-semantics training step (chunked MLP, per-ray Python
+  gamma-expansion loops, three-level loss, Adam) in PyTorch on this host's
+  CPU and writes BASELINE_measured.json; its rays/s appears below as
+  ``torch_cpu_measured_rays_per_s`` with ``vs_torch_cpu``.  (torch is
+  CPU-only in this image, so this measures the reference's *algorithm*, not
+  its GPU.)
+- ESTIMATE: the reference trains on an RTX3090-class GPU
+  (README.md:155-156).  Its per-step critical path includes per-ray Python
+  while-loops and a chunked MLP; per-frame eval wall times implied by
+  tool_script/avg_time.py (~72 s/frame at 290k rows) put its end-to-end
+  renderer near 1e3 rays/s.  REFERENCE_RAYS_PER_S = 1000 is that estimate;
+  ``vs_baseline`` = ours / estimate and is marked
+  ``baseline_kind: rtx3090_estimate``.
 
 Method notes:
 - timing fetches one scalar after the timed loop: on the tunneled axon
@@ -77,6 +84,7 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 2),
+        "baseline_kind": "rtx3090_estimate",
         "batch": BATCH,
         "n_samples": cfg.render.n_samples,
         "n_importance": cfg.render.n_importance,
@@ -85,6 +93,13 @@ def main():
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_measured.json")
+    if os.path.exists(measured):
+        with open(measured) as f:
+            m_cpu = json.load(f)
+        result["torch_cpu_measured_rays_per_s"] = m_cpu["rays_per_s"]
+        result["vs_torch_cpu"] = round(rays_per_s / m_cpu["rays_per_s"], 1)
     print(json.dumps(result))
 
 

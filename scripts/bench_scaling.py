@@ -39,8 +39,16 @@ def main():
     a = p.parse_args()
 
     if a.virtual:
+        import re
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
+        m = re.search(r"xla_force_host_platform_device_count=(\d+)", flags)
+        if m and int(m.group(1)) < a.virtual:
+            # bump an existing smaller count (same logic as __graft_entry__)
+            flags = re.sub(r"--?xla_force_host_platform_device_count=\d+",
+                           f"--xla_force_host_platform_device_count={a.virtual}",
+                           flags)
+            os.environ["XLA_FLAGS"] = flags
+        elif not m:
             os.environ["XLA_FLAGS"] = (
                 flags +
                 f" --xla_force_host_platform_device_count={a.virtual}").strip()
@@ -61,7 +69,13 @@ def main():
 
     results = []
     base_rate = None
-    for n in a.devices:
+    # efficiency is defined vs the 1-DEVICE run; synthesize it if --devices
+    # omits 1 so the first measured point is not trivially efficiency 1.0
+    devices = sorted(set(a.devices))
+    if devices and devices[0] != 1:
+        print("# --devices omits 1; adding the 1-device baseline run")
+        devices = [1] + devices
+    for n in devices:
         if n * a.tp > len(jax.devices()):
             print(f"# skipping n={n}: only {len(jax.devices())} devices")
             continue
@@ -90,11 +104,13 @@ def main():
         rate = cfg.batch_size * a.steps / dt
         if base_rate is None:
             base_rate = rate / dp
+            base_dp = dp
         eff = rate / (base_rate * dp)
         results.append({"devices": dp, "tp": a.tp,
                         "global_batch": cfg.batch_size,
                         "rays_per_s": round(rate, 1),
-                        "scaling_efficiency": round(eff, 3)})
+                        "scaling_efficiency": round(eff, 3),
+                        "efficiency_vs": f"{base_dp}-device run"})
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"platform": str(jax.devices()[0].platform),
                       "virtual": bool(a.virtual), "results": results}))
