@@ -62,8 +62,21 @@ def load_test_rays(cfg: EvalConfig, frame: int, *, create: bool):
 
 
 def evaluate(cfg: EvalConfig, ckpt_path: str, out_prefix: str, *,
+             child_ckpt_path: str | None = None,
              create_test_data: bool = False, verbose: bool = True):
+    """Render all test frames.
+
+    ``child_ckpt_path``: optionally load a SEPARATE checkpoint for the
+    child-refinement stage — its fine model replaces the main checkpoint's
+    in the importance/child-masked pass while stage 1 (parent search) keeps
+    the main coarse model.  Reference surface parity note: the reference
+    parses ``--child_ckpt_path`` and loads the pair
+    (eval_kitti_render.py:907-920) but never references the loaded models
+    afterwards (dead after :920); here the capability is wired to the stage
+    it plainly names."""
     fc, ff = load_folded_models(ckpt_path, cfg)
+    if child_ckpt_path:
+        _, ff = load_folded_models(child_ckpt_path, cfg)
     suffix = "two_step" if cfg.depth_inference_method == 2 else "one_step"
     times = {}
     for j in range(cfg.data.data_start, cfg.data.data_end):
@@ -87,6 +100,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", choices=["kitti00", "maicity00"], required=True)
     p.add_argument("--ckpt", required=True)
+    p.add_argument("--child-ckpt", default=None,
+                   help="separate checkpoint for the child-refinement stage "
+                        "(reference --child_ckpt_path)")
     p.add_argument("--method", type=int, default=2, choices=[1, 2])
     p.add_argument("--sparsity", default="20")
     p.add_argument("--out-prefix", required=True,
@@ -97,6 +113,7 @@ def main():
         method=a.method, sparsity=a.sparsity)
     os.makedirs(os.path.dirname(a.out_prefix) or ".", exist_ok=True)
     times = evaluate(cfg, a.ckpt, a.out_prefix,
+                     child_ckpt_path=a.child_ckpt,
                      create_test_data=a.create_test_data)
     print(json.dumps({"frame_seconds": times}))
 

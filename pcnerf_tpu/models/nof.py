@@ -80,6 +80,16 @@ def _dot(x, w, compute_dtype):
     return jax.lax.dot(x, w, preferred_element_type=jnp.float32)
 
 
+def _dot_exact(x, w):
+    """True-f32 matvec for the collapsed path: the (B, 63) @ (63, 1) product
+    is ~0.01% of the step's FLOPs, while bf16 operands would quantize the
+    raw +-100 m coordinate dims of the embedding at ~0.2% (0.2 m!) and the
+    TPU's default f32 matmul is itself a single bf16 pass."""
+    return jax.lax.dot(x.astype(jnp.float32), w,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
 def _leaky(x, slope):
     # slope == 1.0 (the reference default) is the identity; skip the select so
     # XLA emits nothing at all for the quirk activations.
@@ -223,11 +233,15 @@ def _fold_layers(params, bn_apply, d_in: int, use_skip: bool, tp_axis):
     """
     A = jnp.eye(d_in, dtype=jnp.float32)
     c = jnp.zeros((d_in,), jnp.float32)
+    # true-f32 folds: these (63, 256) @ (256, 256) products are O(4 MFLOP)
+    # total, but at TPU-default precision (single bf16 pass) the folded
+    # w_eff would carry bf16-level error into every sample
+    hi = jax.lax.Precision.HIGHEST
 
     def linear(i, A, c):
         lyr = params["layers"][i]
-        A2 = A @ lyr["w"]
-        c2 = c @ lyr["w"]
+        A2 = jnp.matmul(A, lyr["w"], precision=hi)
+        c2 = jnp.matmul(c, lyr["w"], precision=hi)
         if tp_axis is not None and i % 2 == 1:
             A2 = jax.lax.psum(A2, tp_axis)
             c2 = jax.lax.psum(c2, tp_axis)
@@ -240,8 +254,8 @@ def _fold_layers(params, bn_apply, d_in: int, use_skip: bool, tp_axis):
         c = jnp.concatenate([jnp.zeros((d_in,), jnp.float32), c])
     for i in range(4, 8):
         A, c = bn_apply(i, *linear(i, A, c))
-    w_eff = A @ params["head"]["w"]
-    b_eff = c @ params["head"]["w"] + params["head"]["b"]
+    w_eff = jnp.matmul(A, params["head"]["w"], precision=hi)
+    b_eff = jnp.matmul(c, params["head"]["w"], precision=hi) + params["head"]["b"]
     return w_eff, b_eff
 
 
@@ -262,8 +276,12 @@ def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
     if axis_name is not None:
         mu = jax.lax.pmean(mu, axis_name)
     xc = xf - mu
-    sigma = jax.lax.dot(xc.T, xc,
-                        preferred_element_type=jnp.float32) / b_local
+    # HIGHEST precision: on TPU the default f32 matmul runs single-pass bf16;
+    # the position dims of the embedding span +-100 m, so a bf16 covariance
+    # would carry ~0.4% error into every derived BN variance.  The (63, 63)
+    # moment matmul is a rounding error of the step's cost either way.
+    sigma = jax.lax.dot(xc.T, xc, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) / b_local
     if axis_name is not None:
         sigma = jax.lax.pmean(sigma, axis_name)
         n = b_local * jax.lax.psum(1, axis_name)
@@ -283,7 +301,7 @@ def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
 
     w_eff, b_eff = _fold_layers(params, bn_apply, xf.shape[-1],
                                 cfg.use_skip, tp_axis)
-    logits = _dot(xf, w_eff, cfg.compute_dtype) + b_eff
+    logits = _dot_exact(xf, w_eff) + b_eff
     return jax.nn.sigmoid(logits)[..., 0], {"mean": new_mean, "var": new_var}
 
 
@@ -310,7 +328,7 @@ def collapse_folded_params(folded, cfg: ModelConfig):
 
 def nof_apply_collapsed(w_eff, b_eff, x, cfg: ModelConfig):
     """sigmoid(x @ w_eff + b_eff) — the collapsed single-matvec forward."""
-    logits = _dot(x.astype(jnp.float32), w_eff, cfg.compute_dtype) + b_eff
+    logits = _dot_exact(x, w_eff) + b_eff
     return jax.nn.sigmoid(logits)[..., 0]
 
 
