@@ -101,6 +101,11 @@ class ModelConfig:
     # activation HBM traffic disappears).  "auto" enables it exactly when
     # negative_slope == 1.0; "on"/"off" force it (see models/nof.py).
     collapse_affine: str = "auto"
+    # Rematerialize the training-mode MLP in the backward pass
+    # (jax.checkpoint): trades ~1/3 more MXU FLOPs for not storing the
+    # 9 x (rays*samples, 256) activations in HBM.  Only relevant when the
+    # collapse is off (negative_slope != 1); benchmarked in PERF.md.
+    remat_mlp: bool = False
 
     @property
     def in_channels(self) -> int:

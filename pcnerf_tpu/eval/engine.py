@@ -235,7 +235,10 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
     """Drive all batches of one frame; returns kept fine points (M, 3)."""
     mcfg = eval_cfg.model
     if use_pallas is None:
-        use_pallas = eval_cfg.use_pallas
+        # the fused PE+MLP kernel is the default whenever the affine
+        # collapse cannot apply (negative_slope != 1): it keeps the weights
+        # and a ray tile's activations VMEM-resident across the 9 matmuls
+        use_pallas = eval_cfg.use_pallas or not collapse_active(mcfg)
     if collapse_active(mcfg):
         # affine collapse beats any full-MLP evaluation (one fused
         # elementwise pass per sample) — it wins over the pallas kernel too

@@ -18,8 +18,19 @@ Layout notes:
     S samples in sample-chunks of CHUNK_S, flattening (TILE_R*CHUNK_S, 64)
     onto the MXU.
 
-Forward-only (eval path: BN folded).  The training kernel (batch-stat BN +
-custom VJP) stays on the XLA path for now — training is MXU-bound there.
+Forward-only (eval path: BN folded), with the reference's LeakyReLU topology
+(including the 4 stray activations) for any ``negative_slope`` — at the
+shipped slope 1.0 the affine collapse supersedes this kernel, so its live
+role is the ``negative_slope != 1`` ("presumably-intended") network, where
+``eval/engine.run_inference`` picks it by default.
+
+The TRAINING step stays on the XLA path deliberately: exact reference
+semantics make train-mode BatchNorm statistics a global-batch reduction
+between every pair of matmuls, so a cross-layer fused kernel is impossible
+without changing the math, and within a layer XLA already fuses the
+normalize/activation chain into the matmuls.  The remaining knob — trading
+HBM activation traffic for recompute — is ``ModelConfig.remat_mlp``
+(jax.checkpoint over the MLP apply), benchmarked in PERF.md.
 """
 
 from __future__ import annotations
@@ -68,10 +79,17 @@ def pad_folded_params(folded, mcfg: ModelConfig):
 
 def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
                 headw_ref, b_ref, headb_ref, bands_ref, occ_ref, *,
-                n_samples: int, n_freq: int, compute_dtype):
+                n_samples: int, n_freq: int, compute_dtype, slope: float):
     f32 = jnp.float32
     cast = (lambda x: x.astype(jnp.bfloat16)) if compute_dtype == "bfloat16" \
         else (lambda x: x)
+
+    def act(h):
+        # LeakyReLU on the VPU; slope == 1.0 (the reference quirk) is the
+        # identity and emits nothing
+        if slope == 1.0:
+            return h
+        return jnp.where(h >= 0, h, slope * h)
 
     n_chunks = n_samples // CHUNK_S
 
@@ -93,10 +111,14 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
              jnp.zeros((TILE_R * CHUNK_S, 1), f32)], axis=-1)   # (P, 64)
 
         h = jnp.dot(cast(emb), cast(w0_ref[:]), preferred_element_type=f32)
-        h = h + b_ref[0, :]
+        h = act(h + b_ref[0, :])
         for i in range(3):
-            h = jnp.dot(cast(h), cast(wmid_ref[i]),
-                        preferred_element_type=f32) + b_ref[i + 1, :]
+            h = act(jnp.dot(cast(h), cast(wmid_ref[i]),
+                            preferred_element_type=f32) + b_ref[i + 1, :])
+        # the 4 stray LeakyReLUs the reference appends to layer1
+        # (models.py:92,172): slope^4 on the negatives
+        for _ in range(4):
+            h = act(h)
         skip = jnp.concatenate([emb, h], axis=-1)               # (P, 320)
         h = jnp.dot(cast(skip), cast(wskip_ref[:]),
                     preferred_element_type=f32) + b_ref[4, :]
@@ -125,7 +147,8 @@ def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig):
     grid = (R // TILE_R,)
 
     kernel = functools.partial(_occ_kernel, n_samples=S, n_freq=mcfg.n_freq,
-                               compute_dtype=mcfg.compute_dtype)
+                               compute_dtype=mcfg.compute_dtype,
+                               slope=mcfg.negative_slope)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -64,8 +64,15 @@ def _eval_occupancy(params, bn_state, points, mcfg: ModelConfig, *,
     if train:
         apply_train = (M.nof_apply_train_collapsed if M.collapse_active(mcfg)
                        else nof_apply_train)
-        occ, new_bn = apply_train(params, bn_state, emb, mcfg,
-                                  axis_name=axis_name, tp_axis=tp_axis)
+
+        def run(p, b, e):
+            return apply_train(p, b, e, mcfg, axis_name=axis_name,
+                               tp_axis=tp_axis)
+        if mcfg.remat_mlp and not M.collapse_active(mcfg):
+            # recompute the 9-layer activations in the backward instead of
+            # storing 9 x (r*s, 256) in HBM (see ModelConfig.remat_mlp)
+            run = jax.checkpoint(run)
+        occ, new_bn = run(params, bn_state, emb)
         return occ.reshape(r, s), new_bn
     if M.collapse_active(mcfg):
         w_eff, b_eff = M.collapse_eval_params(params, bn_state, mcfg)

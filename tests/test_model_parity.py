@@ -54,17 +54,25 @@ def test_eval_forward_parity():
     np.testing.assert_allclose(occ_j, occ_t, atol=2e-6)
 
 
-def test_train_forward_and_grad_parity():
+import pytest
+
+
+@pytest.mark.parametrize("slope", [1.0, 0.01])
+def test_train_forward_and_grad_parity(slope):
+    """slope=1.0 = the shipped quirk network; slope=0.01 = the
+    presumably-intended LeakyReLU network (VERDICT round-1 #9: the slope!=1
+    train path must be grad-parity-tested too)."""
+    cfg = ModelConfig(negative_slope=slope)
     params, bn, emb_j, emb_t = _setup()
     tp = oracle.make_torch_params(params, bn)
 
     def loss_fn(p):
-        occ, _ = nof_apply_train(p, bn, emb_j, CFG)
+        occ, _ = nof_apply_train(p, bn, emb_j, cfg)
         return jnp.sum(occ * occ)
 
     loss_j, grads = jax.value_and_grad(loss_fn)(params)
 
-    occ_t = oracle.nof_forward(tp, emb_t, training=True)
+    occ_t = oracle.nof_forward(tp, emb_t, training=True, slope=slope)
     loss_t = (occ_t * occ_t).sum()
     loss_t.backward()
 

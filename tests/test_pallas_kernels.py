@@ -16,7 +16,11 @@ from pcnerf_tpu.models import (
 )
 
 
-def test_fused_occupancy_matches_folded_apply(monkeypatch):
+@pytest.mark.parametrize("slope", [1.0, 0.01])
+def test_fused_occupancy_matches_folded_apply(monkeypatch, slope):
+    """slope=1.0 is the shipped quirk network; slope=0.01 is the
+    presumably-intended LeakyReLU network, where this kernel is the live
+    eval fast path (collapse cannot apply)."""
     from jax.experimental import pallas as pl
     import pcnerf_tpu.ops.pallas_kernels as K
     # interpret mode for CPU testing
@@ -24,7 +28,7 @@ def test_fused_occupancy_matches_folded_apply(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call",
                         lambda *a, **kw: orig(*a, interpret=True, **kw))
 
-    cfg = ModelConfig()
+    cfg = ModelConfig(negative_slope=slope)
     params, bn = init_nof(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(1)
     bn = {"mean": [jnp.asarray(rng.normal(0, 0.3, m.shape).astype(np.float32))
