@@ -36,8 +36,17 @@ def _n_children(artifact_dir: str, fallback: int) -> int:
     return fallback
 
 
+def _art_dir(base: str, sparsity: str) -> str:
+    """Per-sparsity artifact dir: the fused map, children, and ray buffers
+    all depend on which frames are TRAIN frames, so non-default sparsities
+    get their own preprocessing output (the reference rebuilt in place,
+    gated by hand via re_loaddata — a silent-collision hazard)."""
+    return base if sparsity == "20" else f"{base}_s{sparsity}"
+
+
 def kitti00_data(sparsity: str = "20") -> DataConfig:
-    art = os.path.join(REPO, "artifacts/kitti00/1151_1200_view")
+    art = _art_dir(os.path.join(REPO, "artifacts/kitti00/1151_1200_view"),
+                   sparsity)
     cfg = DataConfig(
         dataset="kitti",
         root_dir=f"{REF_DATA}/kitti/00/pcd_remove_dynamic",
@@ -58,7 +67,8 @@ def kitti00_data(sparsity: str = "20") -> DataConfig:
 
 
 def maicity00_data(sparsity: str = "20") -> DataConfig:
-    art = os.path.join(REPO, "artifacts/maicity00/maicity_00_1")
+    art = _art_dir(os.path.join(REPO, "artifacts/maicity00/maicity_00_1"),
+                   sparsity)
     cfg = DataConfig(
         dataset="maicity",
         root_dir=f"{REF_DATA}/maicity/00/pcd",
@@ -80,6 +90,8 @@ def maicity00_data(sparsity: str = "20") -> DataConfig:
 def _train(data: DataConfig, exp: str, *, pcnerf: bool,
            decay_gamma: float, compute_dtype: str = "float32") -> TrainConfig:
     """Shared trainer flags of the four *_train.bash scripts."""
+    if data.split.sparsity != "20":
+        exp = f"{exp}_s{data.split.sparsity}"
     return TrainConfig(
         exp_name=exp,
         seed=42,

@@ -32,9 +32,12 @@ from collections import Counter
 import numpy as np
 import pytest
 
-REF = "/root/reference/logs/kitti00/1151_1200_view/two_step"
-OURS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "artifacts/kitti00/1151_1200_view/two_step")
+REF_ROOT = "/root/reference/logs/kitti00/1151_1200_view"
+OURS_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts/kitti00/1151_1200_view")
+REF = f"{REF_ROOT}/two_step"
+OURS = f"{OURS_ROOT}/two_step"
 
 
 def _groups(folder):
@@ -58,10 +61,11 @@ def _groups(folder):
     return out
 
 
+@pytest.mark.parametrize("mode", ["two_step", "one_step"])
 @pytest.mark.parametrize("frame", [1153, 1178])
-def test_test_ray_groups_match_shipped_value_level(frame):
-    ref_f = f"{REF}/{frame}pcd/childnerf_ray_intersect"
-    our_f = f"{OURS}/{frame}pcd/childnerf_ray_intersect"
+def test_test_ray_groups_match_shipped_value_level(frame, mode):
+    ref_f = f"{REF_ROOT}/{mode}/{frame}pcd/childnerf_ray_intersect"
+    our_f = f"{OURS_ROOT}/{mode}/{frame}pcd/childnerf_ray_intersect"
     if not (os.path.exists(ref_f) and os.path.exists(our_f)):
         pytest.skip("artifacts not generated")
 
