@@ -232,16 +232,22 @@ def _build_test_rays(cfg: DataConfig, view_frame: int, *,
     for r in range(R):
         if not hit_any[r]:
             continue
-        grp = sorted(rows[r], key=lambda t: t[0])
         if depth_inference_method == 1:
-            grp = grp[:1]
+            # one-step: the reference breaks at the FIRST hit in child-index
+            # order (eval_kitti_render.py:726-729), before any sorting, and
+            # the kitti parent-far override (:721-722) has already fired with
+            # that child's ORIGINAL far bound when the near/far columns are
+            # overwritten with the parent interval
+            grp = rows[r][:1]
+        else:
+            grp = sorted(rows[r], key=lambda t: t[0])
         n = len(grp)
         for i, (nb, fb, b, infl) in enumerate(grp):
             pf = par_far[r]
+            if kitti and par_far[r] < fb:
+                pf = fb
             if depth_inference_method == 1:
                 nb, fb = 0.0, par_far[r]
-            elif kitti and par_far[r] < fb:
-                pf = fb
             out_rows.append([origin[0], origin[1], origin[2],
                              dirs[r, 0], dirs[r, 1], dirs[r, 2],
                              nb, fb, 3.0, 0.0, pf,

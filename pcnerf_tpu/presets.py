@@ -142,12 +142,19 @@ def kitti00_eval(method: int = 2, sparsity="20",
                  compute_dtype: str = "bfloat16") -> EvalConfig:
     """KITTI00_{pcnerf,originalnerf}_eval.bash (bf16 MLP by default: the
     eval MLP is MXU-bound; fp32-vs-bf16 depth differences are well below the
-    0.2 m metric threshold — validated per-frame in round 1)"""
+    0.2 m metric threshold — validated per-frame in round 1).
+
+    The reference evaluates with a SMALLER vehicle-body crop than it trains
+    with (eval bash: --range_delete_x 2 --range_delete_y 1 --range_delete_z
+    0.5 vs the train bash's 3/2/1.25), so eval GT clouds include near-vehicle
+    points the train rays never saw; reproduced here."""
+    data = kitti00_data(sparsity)
+    data = dataclasses.replace(data, range_delete=(2.0, 1.0, 0.5))
     return EvalConfig(
         depth_inference_method=method,
         n_samples=4096, n_importance=8192, batch_size=4096,
         model=ModelConfig(compute_dtype=compute_dtype),
-        data=kitti00_data(sparsity))
+        data=data)
 
 
 def maicity00_eval(method: int = 2, sparsity="20",
