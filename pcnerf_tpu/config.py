@@ -198,6 +198,11 @@ class TrainConfig:
     batch_size_val: int = 256
     num_epochs: int = 1
     log_every: int = 50
+    # Steps fused per device dispatch via lax.scan (train/system.py:
+    # make_train_scan).  At the reference batch size a step is ~1 ms of MXU
+    # work, so per-step host dispatch dominates; scanning amortizes it K-fold
+    # with identical math.  0/1 disables (per-step dispatch).
+    scan_steps: int = 50
     model: ModelConfig = field(default_factory=ModelConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
     loss: LossConfig = field(default_factory=LossConfig)

@@ -1,4 +1,5 @@
 from pcnerf_tpu.parallel.gspmd import (  # noqa: F401
+    make_gspmd_train_scan,
     make_gspmd_train_step,
     make_gspmd_val_step,
     replicate_state,

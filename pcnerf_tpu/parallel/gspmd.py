@@ -32,7 +32,8 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pcnerf_tpu.config import TrainConfig
-from pcnerf_tpu.train.system import TrainState, make_train_step, make_val_step
+from pcnerf_tpu.train.system import (TrainState, make_train_scan,
+                                     make_train_step, make_val_step)
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
@@ -50,6 +51,21 @@ def make_gspmd_train_step(cfg: TrainConfig, mesh: Mesh):
     gt_s = NamedSharding(mesh, P("dp"))
     return jax.jit(raw,
                    in_shardings=(repl, rays_s, gt_s, repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def make_gspmd_train_scan(cfg: TrainConfig, mesh: Mesh):
+    """The multi-step ``lax.scan`` trainer (train/system.py:make_train_scan)
+    under the dp mesh: the (K, B, 15) batch stack is sharded over ``dp`` on
+    the batch axis, params/opt/BN replicated — same math, one dispatch and
+    one gradient all-reduce chain per K steps."""
+    raw = make_train_scan(cfg, jit=False)
+    repl = NamedSharding(mesh, P())
+    rays_s = NamedSharding(mesh, P(None, "dp", None))
+    gt_s = NamedSharding(mesh, P(None, "dp"))
+    return jax.jit(raw,
+                   in_shardings=(repl, rays_s, gt_s, repl, repl, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,))
 

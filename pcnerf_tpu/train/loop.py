@@ -137,17 +137,26 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             from pcnerf_tpu.parallel import make_mesh
             mesh = make_mesh(n_dev, tp=1)
     if mesh is not None:
-        from pcnerf_tpu.parallel import (make_gspmd_train_step,
+        from pcnerf_tpu.parallel import (make_gspmd_train_scan,
+                                         make_gspmd_train_step,
                                          make_gspmd_val_step, replicate_state)
         state = replicate_state(state, mesh)
         train_step = make_gspmd_train_step(cfg, mesh)
+        train_scan = make_gspmd_train_scan(cfg, mesh)
         val_step = make_gspmd_val_step(cfg, mesh)
         if verbose:
             print(f"[fit] data-parallel over {mesh.devices.size} devices "
                   f"(GSPMD dp mesh)", flush=True)
     else:
+        from pcnerf_tpu.train.system import make_train_scan
         train_step = make_train_step(cfg)
+        train_scan = make_train_scan(cfg)
         val_step = make_val_step(cfg)
+    # K steps per device dispatch: at the reference batch size (256 rays) a
+    # step is ~1 ms of device work, so per-step host dispatch dominates wall
+    # clock; a lax.scan chunk amortizes it K-fold with identical math
+    # (tests/test_train_scan.py).  Disabled while capturing a per-step trace.
+    scan_k = cfg.scan_steps if profile_steps == 0 else 0
 
     if not skip_sanity_val:
         m = run_validation(cfg, state, val_step, rays_val, ranges_val,
@@ -179,9 +188,41 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         # under a mesh the buffers stay on host: each numpy batch slice is
         # placed per the GSPMD step's dp in_shardings at dispatch (KBs/step)
 
-        for b in range(n_batches):
+        rate_step = step
+
+        def _flush_and_report():
+            nonlocal t0, rate_step
+            last = logger.flush()
+            tracker.update(last.get("loss", float("inf")), state)
+            if verbose:
+                rate = cfg.batch_size * (step - rate_step) / max(
+                    time.time() - t0, 1e-9)
+                t0 = time.time()
+                rate_step = step
+                print(f"[fit] step {step}/{n_batches * cfg.num_epochs} "
+                      f"loss={last.get('loss'):.4f} "
+                      f"avg_err={last.get('avg_error'):.3f}m "
+                      f"({rate:.0f} rays/s)", flush=True)
+
+        b = 0
+        while b < n_batches:
             if step < resume_step:
                 step += 1
+                b += 1
+                continue
+            # full scan chunks whenever K whole batches fit in every limit;
+            # edges (epoch tail, max_steps tail) fall through to single steps
+            if (scan_k > 1 and b + scan_k <= n_batches
+                    and (max_steps is None or step + scan_k <= max_steps)):
+                with timer.step(scale=scan_k):
+                    state, ms = train_scan(state, epoch_rays[b:b + scan_k],
+                                           epoch_ranges[b:b + scan_k],
+                                           key, lr, jnp.int32(step))
+                timer.mark_complete(ms["loss"][-1])
+                logger.log_block(step, ms, scan_k)
+                step += scan_k
+                b += scan_k
+                _flush_and_report()
                 continue
             k = jax.random.fold_in(key, step)
             profiling = epoch == 0 and 1 <= step <= profile_steps
@@ -193,17 +234,9 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
                     timer.mark_complete(metrics["loss"])
             logger.log_step(step, metrics)
             step += 1
+            b += 1
             if step % cfg.log_every == 0:
-                last = logger.flush()
-                tracker.update(last.get("loss", float("inf")), state)
-                if verbose:
-                    rate = cfg.batch_size * cfg.log_every / max(
-                        time.time() - t0, 1e-9)
-                    t0 = time.time()
-                    print(f"[fit] step {step}/{n_batches * cfg.num_epochs} "
-                          f"loss={last.get('loss'):.4f} "
-                          f"avg_err={last.get('avg_error'):.3f}m "
-                          f"({rate:.0f} rays/s)", flush=True)
+                _flush_and_report()
             if max_steps is not None and step >= max_steps:
                 break
         if max_steps is not None and step >= max_steps:

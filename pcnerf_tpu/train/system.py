@@ -153,6 +153,38 @@ def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
     return train_step
 
 
+def make_train_scan(cfg: TrainConfig, *, donate: bool = True,
+                    jit: bool = True):
+    """K training steps fused into ONE device program via ``lax.scan``.
+
+    ``(state, rays (K,B,15), gt (K,B), base_key, lr, step0) ->
+    (state, metrics-of-(K,)-arrays)``.
+
+    Why: at the reference's batch size (256 rays, train_kitti.py bash) a
+    single step is ~1 ms of MXU work but pays a full host dispatch round
+    trip — tens of ms through a tunneled backend.  Scanning ``K`` steps per
+    dispatch amortizes that to 1/K while keeping the math identical: the
+    inner RNG key for global step ``step0+i`` is ``fold_in(base_key,
+    step0+i)``, exactly the per-step path's key sequence, and the carried
+    (params, BN, opt state) update chain is the same program as
+    :func:`make_train_step`'s body.
+    """
+    step_fn = make_train_step(cfg, jit=False)
+
+    def scan_fn(state, rays_k, gt_k, base_key, lr, step0):
+        idx = step0 + jnp.arange(rays_k.shape[0], dtype=jnp.int32)
+
+        def body(st, xs):
+            i, rays, gt = xs
+            return step_fn(st, rays, gt, jax.random.fold_in(base_key, i), lr)
+
+        return jax.lax.scan(body, state, (idx, rays_k, gt_k))
+
+    if not jit:
+        return scan_fn
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_val_step(cfg: TrainConfig, *, jit: bool = True):
     """Validation step: fine depth, loss/abs/acc (train_kitti.py:208-258).
     CD/F-score are computed separately by :mod:`pcnerf_tpu.eval.metrics`

@@ -62,38 +62,42 @@ class MetricLogger:
 
     def log_step(self, step: int, metrics: Dict) -> None:
         """Queue device scalars; no host transfer happens here."""
-        self._pending.append(metrics)
+        self._pending.append((step, metrics, 1))
         self._steps.append(step)
+
+    def log_block(self, step0: int, metrics: Dict, k: int) -> None:
+        """Queue a scan chunk's stacked metrics ({key: (K,) device array})
+        as K consecutive step rows starting at ``step0`` — the whole block
+        stays on device until flush."""
+        self._pending.append((step0, metrics, k))
+        self._steps.append(step0 + k - 1)
 
     def flush(self) -> Dict:
         """Fetch all queued metrics in one bulk transfer and persist them."""
         if not self._pending:
             return {}
         import jax
-        import jax.numpy as jnp
-        # stack on device -> ONE transfer (per-scalar fetches cost ~26 ms each
-        # through a tunneled backend; a flush of 50 steps x 10 keys would
-        # otherwise take seconds)
-        keys = list(self._pending[0].keys())
-        stacked = jnp.stack([jnp.stack([jnp.asarray(m[k], jnp.float32)
-                                        for k in keys])
-                             for m in self._pending])
-        mat = np.asarray(jax.device_get(stacked))
-        fetched = [dict(zip(keys, row)) for row in mat]
-        self._pending = []
-        steps, self._steps = self._steps, []
+        # ONE transfer for everything queued (per-scalar fetches cost ~26 ms
+        # each through a tunneled backend)
+        fetched = jax.device_get([m for (_, m, _) in self._pending])
+        pending, self._pending = self._pending, []
+        self._steps = []
         last = {}
-        for s, m in zip(steps, fetched):
-            row = {k: float(v) for k, v in m.items()}
-            row["step"] = s
-            row["wall"] = time.time() - self._t0
-            self._rows.append(row)
-            self._jsonl.write(json.dumps(row) + "\n")
-            if self._tb is not None:
-                for k, v in row.items():
-                    if k not in ("step", "wall"):
-                        self._tb.add_scalar(f"train/{k}", v, s)
-            last = row
+        wall = time.time() - self._t0
+        for (step0, _, k), m in zip(pending, fetched):
+            for i in range(k):
+                row = {key: float(np.asarray(v).reshape(-1)[i] if k > 1
+                                  else v)
+                       for key, v in m.items()}
+                row["step"] = step0 + i
+                row["wall"] = wall
+                self._rows.append(row)
+                self._jsonl.write(json.dumps(row) + "\n")
+                if self._tb is not None:
+                    for key, v in row.items():
+                        if key not in ("step", "wall"):
+                            self._tb.add_scalar(f"train/{key}", v, row["step"])
+                last = row
         self._jsonl.flush()
         self._save_curves()
         return last

@@ -80,10 +80,14 @@ class StepTimer:
         self._t0: Optional[float] = None
 
     @contextlib.contextmanager
-    def step(self):
+    def step(self, scale: int = 1):
+        """``scale`` divides the recorded duration — pass K when the timed
+        region is a K-step ``lax.scan`` dispatch so percentiles stay
+        per-step."""
         self._t0 = time.time()
+        self._scale = scale
         yield
-        self.dispatch_s.append(time.time() - self._t0)
+        self.dispatch_s.append((time.time() - self._t0) / self._scale)
 
     def mark_complete(self, scalar) -> float:
         """Fetch ``scalar`` (data-dependency barrier) and record the full
@@ -91,7 +95,8 @@ class StepTimer:
         device round-trip."""
         v = barrier(scalar)
         if self._t0 is not None:
-            self.complete_s.append(time.time() - self._t0)
+            self.complete_s.append((time.time() - self._t0)
+                                   / getattr(self, "_scale", 1))
         return v
 
     def summary(self) -> Dict[str, Any]:

@@ -40,8 +40,14 @@ def main():
     os.makedirs(os.path.join(result_dir, "infer"), exist_ok=True)
     os.makedirs(os.path.join(result_dir, "source"), exist_ok=True)
 
-    # assemble gt: the test-ray builder wrote {frame}_source/_pose.pcd next to
-    # the ray npys (the reference's multi_frame_* does the same)
+    prefix = os.path.join(result_dir, "infer", a.version + "_")
+    times = evaluate(cfg, a.ckpt, prefix, create_test_data=False)
+    print(json.dumps({"frame_seconds": times}))
+
+    # assemble gt AFTER evaluate(): on a fresh artifacts dir the test-ray
+    # builder only writes {frame}_source/_pose.pcd next to the ray npys
+    # during evaluate()'s lazy load_test_rays (the reference's
+    # multi_frame_* does the same)
     sub = "two_step" if a.method == 2 else "one_step"
     for j in range(cfg.data.data_start, cfg.data.data_end):
         if not cfg.data.split.is_test_frame(j, cfg.data.data_start):
@@ -54,10 +60,6 @@ def main():
             d = os.path.join(result_dir, "source", f"{f}_{suffix}.pcd")
             if os.path.exists(s) and not os.path.exists(d):
                 shutil.copy(s, d)
-
-    prefix = os.path.join(result_dir, "infer", a.version + "_")
-    times = evaluate(cfg, a.ckpt, prefix, create_test_data=False)
-    print(json.dumps({"frame_seconds": times}))
 
     res = error_metrics(result_dir, a.version,
                         "two-step" if a.method == 2 else "one-step",
