@@ -22,6 +22,7 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--out", default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--warm-start", default=None,
@@ -39,6 +40,8 @@ def main():
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
     if a.epochs is not None:
         cfg = dataclasses.replace(cfg, num_epochs=a.epochs)
+    if a.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=a.seed)
     if a.batch_size is not None:
         cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
     fit(cfg, out_dir=a.out, rebuild_data=a.rebuild_data,
