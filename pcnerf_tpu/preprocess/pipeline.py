@@ -43,7 +43,7 @@ def run_pipeline(dataset: str, root_dir: str, pose_path: str, out_dir: str,
                  interest_y=20.0, over_height=0.168, over_low=-2.0,
                  xy_threshold=0.5, z_threshold=0.5,
                  cluster_radius=0.35, min_cluster=15,
-                 crop_bounds=None, verbose: bool = True):
+                 ground_th_dist=0.3, crop_bounds=None, verbose: bool = True):
     t0 = time.time()
     split = FrameSplit(sparsity=sparsity)
     os.makedirs(out_dir, exist_ok=True)
@@ -85,8 +85,13 @@ def run_pipeline(dataset: str, root_dir: str, pose_path: str, out_dir: str,
         f"{positions.shape[0]} train scans  ({time.time()-t0:.1f}s)")
     log(f"[fusion] parent AABB {fused.min(0)} .. {fused.max(0)}")
 
-    # 2. ground filtering (plane_ground_filter.launch defaults)
-    g_mask, ng_mask = ground_filter(fused)
+    # 2. ground filtering.  th_dist defaults to the reference launch file's
+    #    0.3 (plane_ground_filter.launch:8-31, tuned for KITTI's noisy
+    #    scans); the MaiCity presets pass 0.125 — the synthetic scans have a
+    #    perfectly planar ground, and 0.125 reproduces the reference's
+    #    shipped test-ray group structure ((ray x child) rows within 1.1%
+    #    vs +7.4% at 0.3; scripts/sweep_maicity_prep.py)
+    g_mask, ng_mask = ground_filter(fused, th_dist=ground_th_dist)
     ground = fused[g_mask]
     no_ground = fused[ng_mask]
     write_pcd(os.path.join(sub_dir, "points_ground.pcd"), ground)
@@ -126,6 +131,7 @@ def run_pipeline(dataset: str, root_dir: str, pose_path: str, out_dir: str,
         "dataset": dataset, "data_start": data_start, "data_end": data_end,
         "sparsity": sparsity, "n_children": len(named_cells),
         "n_clusters": n_clusters, "fused_points": int(fused.shape[0]),
+        "ground_th_dist": ground_th_dist,
         "parent_min": fused.min(0).tolist(), "parent_max": fused.max(0).tolist(),
     }
     with open(os.path.join(out_dir, "preprocess_meta.json"), "w") as f:
@@ -149,14 +155,20 @@ def main():
     p.add_argument("--crop", type=float, nargs=6, default=None,
                    help="xmin ymin zmin xmax ymax zmax parent-bound crop "
                         "(MaiCity uses -12 -12 -2 61 12 0.5)")
+    p.add_argument("--th-dist", type=float, default=None,
+                   help="plane-fit ground threshold; default 0.3 (KITTI "
+                        "launch file) / 0.125 (MaiCity, synthetic planar "
+                        "ground — see run_pipeline)")
     a = p.parse_args()
     rd = tuple(a.range_delete) if a.range_delete else (
         (3.0, 2.0, 1.25) if a.dataset == "kitti" else (2.0, 1.0, 0.5))
     crop = (a.crop[:3], a.crop[3:]) if a.crop else None
+    th = a.th_dist if a.th_dist is not None else (
+        0.3 if a.dataset == "kitti" else 0.125)
     meta = run_pipeline(a.dataset, a.root, a.poses, a.out, a.start, a.end,
                         sparsity=a.sparsity, range_delete=rd,
                         xy_threshold=a.cell, z_threshold=a.cell,
-                        crop_bounds=crop)
+                        ground_th_dist=th, crop_bounds=crop)
     print(json.dumps(meta))
 
 
