@@ -22,12 +22,12 @@ VALUE-level on what exists:
 
 KITTI: our regenerated children (15,327 vs the reference scene's 15,333)
 reproduce the shipped group structure almost exactly (100% range joins,
-99.8% size agreement) — thresholds are tight.  MaiCity: our preprocessing
-produces a coarser clustering (21 clusters / 5,661 cells vs the
-reference's 5,729), so rays intersect ~6% more candidate children (mean
-group-size delta +0.38, ~8-9% of rays disagree on size); the thresholds
-encode that measured state to catch regressions while PARITY.md documents
-the divergence.
+99.8% size agreement) — thresholds are tight.  MaiCity: with the
+th_dist=0.125 ground threshold (preprocess/pipeline.py — recovered from
+this very fingerprint) our 5,447 children land within 1.1% of the
+reference's (ray x child) rows on every frame with 100% range joins and
+~95% group-size agreement; the residual is the clustering boundary
+difference documented in PARITY.md.
 
 Skipped unless both the shipped reference logs and our regenerated
 artifacts exist (produced by pcnerf_tpu.preprocess.pipeline +
@@ -54,9 +54,11 @@ SCENES = {
         ref="/root/reference/logs/maicity00/maicity_00_1",
         ours=os.path.join(REPO, "artifacts/maicity00/maicity_00_1"),
         frames=[3, 28],
-        row_tol=0.08,        # measured +6.2% rows (coarser clustering)
-        range_match=0.999,   # ray identity matches; children differ
-        size_match=0.90,     # measured 91.5/92.2% size agreement
+        # th_dist=0.125 artifacts (see preprocess/pipeline.py): measured
+        # +0.7/+1.1% rows, 100% range joins, 95.0/95.7% size agreement
+        row_tol=0.015,
+        range_match=0.999,
+        size_match=0.94,
     ),
 }
 
