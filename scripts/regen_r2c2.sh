@@ -34,14 +34,19 @@ step prep_kitti $P -m pcnerf_tpu.preprocess.pipeline --dataset kitti \
   --out artifacts/kitti00/1151_1200_view --start 1150 --end 1200 --sparsity 20 &
 PREP2=$!
 
-step profile $P scripts/profile_step.py
 wait $PREP1 $PREP2
 
+# remote compiles are degraded (~100 s for a tiny jit at 01:10 UTC), so the
+# highest-value run goes first and profiling (many separate jits) last
 step train_mai_orig $P -m pcnerf_tpu.train.run --preset maicity00_originalnerf \
   --dtype bfloat16 --skip-sanity-val
 
 step eval_mai_orig2 $P scripts/eval_scene.py --preset maicity00 --method 2 \
   --version version_0 --ckpt logs/maicity00/maicity_00_1/originalnerf/checkpoints/best
+
+step bench $P bench.py
+
+step profile $P scripts/profile_step.py
 
 step train_kitti_orig_e3 $P -m pcnerf_tpu.train.run --preset kitti00_originalnerf \
   --dtype bfloat16 --skip-sanity-val --epochs 3 \
@@ -56,5 +61,13 @@ step train_mai_pc $P -m pcnerf_tpu.train.run --preset maicity00_pcnerf \
 
 step eval_mai_pc1 $P scripts/eval_scene.py --preset maicity00 --method 1 \
   --version version_1 --ckpt logs/maicity00/maicity_00_1/pcnerf/checkpoints/best
+
+# sparsity robustness row (50% prep already built on CPU this session)
+step train_mai_s50 $P -m pcnerf_tpu.train.run --preset maicity00_pcnerf \
+  --sparsity 50 --dtype bfloat16 --skip-sanity-val
+
+step eval_mai_s50 $P scripts/eval_scene.py --preset maicity00 --method 2 \
+  --version version_1 --sparsity 50 \
+  --ckpt logs/maicity00/maicity_00_1/pcnerf_s50/checkpoints/best
 
 echo "=== r2c2 queue done $(date -u +%H:%M:%S)" >> logs_bg/queue.log

@@ -6,7 +6,7 @@ cd /root/repo
 LOG=logs_bg/watchdog.log
 echo "=== watchdog start $(date -u +%H:%M:%S)" >> $LOG
 for i in $(seq 1 200); do
-  if timeout 150 python -c "
+  if timeout 300 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256,256), jnp.bfloat16)
 print(float(jax.jit(lambda a:(a@a).sum())(x)))" >> $LOG 2>&1; then
@@ -16,6 +16,6 @@ print(float(jax.jit(lambda a:(a@a).sum())(x)))" >> $LOG 2>&1; then
     exit 0
   fi
   echo "--- attempt $i failed $(date -u +%H:%M:%S)" >> $LOG
-  sleep 45
+  sleep 20
 done
 echo "=== watchdog gave up $(date -u +%H:%M:%S)" >> $LOG
