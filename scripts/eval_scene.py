@@ -28,13 +28,30 @@ def main():
     p.add_argument("--sparsity", default="20")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--result-dir", default=None)
+    p.add_argument("--rays-from", default=None,
+                   help="load pre-built grouped test rays from this result "
+                        "tree instead of building them (the "
+                        "test_data_create=0 path of "
+                        "eval_kitti_render.py:246-254).  Useful to score one "
+                        "checkpoint on another artifact tree's rays (e.g. a "
+                        "ground-threshold sweep variant) to isolate builder "
+                        "differences from model quality.  NOTE: the "
+                        "reference's shipped logs ship only ranges/counts/"
+                        "flags, not all_rays_child.npy, so the donor must be "
+                        "a tree this framework built.")
     a = p.parse_args()
 
+    import dataclasses
     cfg = (kitti00_eval if a.preset == "kitti00" else maicity00_eval)(
         method=a.method, sparsity=a.sparsity)
     if a.pallas:
-        import dataclasses
         cfg = dataclasses.replace(cfg, use_pallas=True)
+    if a.rays_from:
+        if a.result_dir is None:
+            p.error("--rays-from requires --result-dir (outputs must not "
+                    "land in the donor tree)")
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, result_path=a.rays_from))
     result_dir = a.result_dir or os.path.join(
         cfg.data.result_path, "render_result")
     os.makedirs(os.path.join(result_dir, "infer"), exist_ok=True)
