@@ -88,6 +88,14 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
     losses/BN, sharding-invariant RNG); tests/test_fit_mesh.py asserts it."""
     out_dir = out_dir or os.path.join("logs", cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
+    # a stale completion sentinel (from a previous finished run in the same
+    # out_dir) must not survive into a new/longer run: queue scripts key
+    # train-skip decisions on DONE, and a mid-training restored checkpoint
+    # without DONE must never be mistaken for a finished training
+    # (ADVICE r2, high)
+    done_path = os.path.join(out_dir, "DONE")
+    if os.path.exists(done_path):
+        os.remove(done_path)
     logger = MetricLogger(out_dir)
     tracker = BestLastTracker(os.path.join(out_dir, "checkpoints"))
     timer = StepTimer()
@@ -252,4 +260,12 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
     tracker.update(last.get("loss", float("inf")), state)
     timer.save(os.path.join(out_dir, "step_times.json"))
     logger.close()
+    # completion sentinel: written ONLY after the final checkpoint flush, so
+    # "DONE exists" <=> "this out_dir's best/ checkpoint is from a finished
+    # training" — the guard queue scripts must use (not best/d existence)
+    import json as _json
+    with open(done_path, "w") as f:
+        _json.dump({"step": int(step), "epochs": cfg.num_epochs,
+                    "planned_steps": n_batches * cfg.num_epochs,
+                    "max_steps": max_steps}, f)
     return state
