@@ -54,7 +54,7 @@ def block_data_config(dataset: str, root: str, poses: str, out_dir: str,
         sub_nerf_count=n_children, surface_expand=0.05, range_delete=rd)
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", choices=["kitti", "maicity"], required=True)
     p.add_argument("--root", required=True)
@@ -69,7 +69,11 @@ def main():
                    default="all")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--sparsity", default="20")
-    a = p.parse_args()
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap each block's training (smoke runs)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=1)
+    a = p.parse_args(argv)
 
     blocks = block_ranges(a.start, a.end, a.block_frames)
     if a.block_index is not None:
@@ -86,12 +90,16 @@ def main():
             data = block_data_config(a.dataset, a.root, a.poses, a.out, bs, be)
             cfg = TrainConfig(
                 exp_name=f"blocks/block_{bs}_{be}",
+                num_epochs=a.epochs,
                 model=ModelConfig(compute_dtype=a.dtype),
                 loss=dataclasses.replace(LossConfig(),
                                          sub_nerf_count=data.sub_nerf_count),
                 data=data)
+            if a.batch_size:
+                cfg = dataclasses.replace(cfg, batch_size=a.batch_size,
+                                          batch_size_val=a.batch_size)
             fit(cfg, out_dir=os.path.join(art, "train"),
-                skip_sanity_val=True)
+                skip_sanity_val=True, max_steps=a.max_steps)
 
 
 if __name__ == "__main__":
