@@ -64,13 +64,22 @@ def main():
     state = init_train_state(jax.random.PRNGKey(0), cfg)
     step = make_train_step(cfg)
 
+    # Separate true XLA compile time from the tunneled backend's one-time
+    # device->host stream init: round-2's "compile_s 349 s" was the latter
+    # (the queue's own bench the same session compiled in well under 211 s
+    # total) — AOT lower+compile measures only the compiler.
     t0 = time.time()
-    state, m = step(state, rays_j, ranges_j, jax.random.PRNGKey(0), lr)
-    float(m["loss"])  # forces completion (and pays the one-time transfer init)
+    compiled = step.lower(state, rays_j, ranges_j,
+                          jax.random.PRNGKey(0), lr).compile()
     compile_s = time.time() - t0
+    t0 = time.time()
+    state, m = compiled(state, rays_j, ranges_j, jax.random.PRNGKey(0), lr)
+    float(m["loss"])  # pays the one-time transfer/stream init
+    first_exec_s = time.time() - t0
     for i in range(3):
-        state, m = step(state, rays_j, ranges_j, jax.random.PRNGKey(i), lr)
+        state, m = compiled(state, rays_j, ranges_j, jax.random.PRNGKey(i), lr)
     float(m["loss"])
+    step = compiled
 
     t0 = time.time()
     for i in range(STEPS):
@@ -91,6 +100,7 @@ def main():
         "dtype": cfg.model.compute_dtype,
         "step_ms": round(dt / STEPS * 1000, 2),
         "compile_s": round(compile_s, 1),
+        "first_exec_s": round(first_exec_s, 1),
         "device": str(jax.devices()[0]),
     }
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
