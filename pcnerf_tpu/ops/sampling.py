@@ -171,3 +171,70 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool):
 def merge_sorted(z_vals, z_new):
     """Sorted union of base and importance samples (render.py:467)."""
     return jnp.sort(jnp.concatenate([z_vals, z_new], axis=-1), axis=-1)
+
+
+def sample_pdf_merged(key, z_vals, bins, weights, n_samples: int, det: bool):
+    """``merge_sorted(z_vals, sample_pdf(key, bins, weights, ...))`` fused.
+
+    Every renderer merge-sorts the importance samples into the base z
+    immediately, so the caller-order restore inside
+    :func:`inverse_cdf_interp` (a (R, M+K) 2-payload sort) and the separate
+    merge sort are wasted work.  Fused layout:
+
+    1. the bracketing sort runs WITHOUT the ``tag`` payload (3 arrays wide
+       instead of 4) — interpolation happens in sorted-by-u order;
+    2. since cdf and bins are ascending, the interpolant is monotone in u,
+       so the interpolated values at u-positions are ALREADY ascending along
+       the sorted row; cdf positions are masked to +inf;
+    3. one single-payload sort of ``[z_vals | masked_row]`` then yields the
+       sorted union in its first ``len(z_vals) + n_samples`` columns (the
+       +inf fillers sort to the tail).
+
+    Sort traffic per fine pass drops ~40% vs the unfused chain (TPU sorts
+    are multi-pass compare-exchange networks; cost ~ width x payload count).
+    Exactness vs the unfused path (same key, both det modes) is asserted by
+    tests/test_sampling.py.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,),
+                               dtype=cdf.dtype)
+
+    r, m = cdf.shape
+    k = n_samples
+    dt = cdf.dtype
+    keys = jnp.concatenate([cdf, u], axis=-1)
+    is_cdf = jnp.concatenate([jnp.ones((r, m), jnp.int32),
+                              jnp.zeros((r, k), jnp.int32)], axis=-1)
+    binv = jnp.concatenate([bins, jnp.zeros((r, k), bins.dtype)], axis=-1)
+    skey, smask, sbin = jax.lax.sort((keys, is_cdf, binv), num_keys=1,
+                                     is_stable=True)
+    mask = smask == 1
+    neg = jnp.asarray(-jnp.inf, dt)
+    pos = jnp.asarray(jnp.inf, dt)
+    cdf_b = jax.lax.cummax(jnp.where(mask, skey, neg), axis=1)
+    bin_b = jax.lax.cummax(jnp.where(mask, sbin, neg), axis=1)
+    cdf_a = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(mask, skey, pos), 1), axis=1), 1)
+    bin_a = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(mask, sbin, pos), 1), axis=1), 1)
+    cdf_a = jnp.where(jnp.isposinf(cdf_a), cdf[:, -1:], cdf_a)
+    bin_a = jnp.where(jnp.isposinf(bin_a), bins[:, -1:], bin_a)
+    cdf_b = jnp.where(jnp.isneginf(cdf_b), cdf[:, :1], cdf_b)
+    bin_b = jnp.where(jnp.isneginf(bin_b), bins[:, :1], bin_b)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (skey - cdf_b) / denom
+    out = bin_b + t * (bin_a - bin_b)
+
+    masked = jnp.where(mask, pos, out)          # u-interps only, cdf -> +inf
+    merged = jnp.sort(jnp.concatenate([z_vals, masked], axis=-1), axis=-1)
+    return merged[:, :z_vals.shape[-1] + k]

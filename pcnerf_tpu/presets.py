@@ -36,6 +36,18 @@ def _n_children(artifact_dir: str, fallback: int) -> int:
     return fallback
 
 
+def override_art_dir(data: DataConfig, art: str) -> DataConfig:
+    """Point an existing DataConfig at a different preprocessing tree
+    (preprocessing-ablation experiments: same scene, different child set)."""
+    return dataclasses.replace(
+        data,
+        subnerf_path=os.path.join(art, "sub_pointcloud/split_child_nerf2"),
+        parentnerf_path=(os.path.join(art, "source.pcd")
+                         if data.parentnerf_path else ""),
+        result_path=art,
+        sub_nerf_count=_n_children(art, data.sub_nerf_count))
+
+
 def _art_dir(base: str, sparsity: str) -> str:
     """Per-sparsity artifact dir: the fused map, children, and ray buffers
     all depend on which frames are TRAIN frames, so non-default sparsities

@@ -142,9 +142,10 @@ def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
                               axis_name=axis_name, tp_axis=tp_axis)
 
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_new = S.sample_pdf(k_pdf, mids, jax.lax.stop_gradient(coarse["weights"][..., 1:-1]),
-                         rcfg.n_importance, det=(rcfg.perturb == 0.0))
-    z_fine = S.merge_sorted(z_vals, z_new)
+    z_fine = S.sample_pdf_merged(
+        k_pdf, z_vals, mids,
+        jax.lax.stop_gradient(coarse["weights"][..., 1:-1]),
+        rcfg.n_importance, det=(rcfg.perturb == 0.0))
 
     fine = _composite_train(params_fine, bn_fine, rb, z_fine, k_noise_f,
                             mcfg, rcfg, lcfg, train_bn=True,
@@ -181,9 +182,8 @@ def render_rays_val(params_coarse, bn_coarse, params_fine, bn_fine,
 
     depth, w = one_pass(params_coarse, bn_coarse, z_vals, k_noise_c)
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_new = S.sample_pdf(k_pdf, mids, w[..., 1:-1], rcfg.n_importance,
-                         det=(rcfg.perturb == 0.0))
-    z_fine = S.merge_sorted(z_vals, z_new)
+    z_fine = S.sample_pdf_merged(k_pdf, z_vals, mids, w[..., 1:-1],
+                                 rcfg.n_importance, det=(rcfg.perturb == 0.0))
     depth_fine, _ = one_pass(params_fine, bn_fine, z_fine, k_noise_f)
     return {"depth": depth, "depth_fine": depth_fine}
 
@@ -219,9 +219,8 @@ def render_rays_legacy(params_coarse, bn_coarse, params_fine, bn_fine,
 
     depth, w, opacity = one_pass(params_coarse, bn_coarse, z_vals, k_noise_c)
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_new = S.sample_pdf(k_pdf, mids, w[..., 1:-1], rcfg.n_importance,
-                         det=(rcfg.perturb == 0.0))
-    z_fine = S.merge_sorted(z_vals, z_new)
+    z_fine = S.sample_pdf_merged(k_pdf, z_vals, mids, w[..., 1:-1],
+                                 rcfg.n_importance, det=(rcfg.perturb == 0.0))
     depth_fine, w_fine, opacity_fine = one_pass(params_fine, bn_fine, z_fine,
                                                 k_noise_f)
     # depth2: the z of each ray's max-weight sample (render.py:598-600)

@@ -35,9 +35,19 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="restore <out>/checkpoints/last and continue at the "
                         "interrupted step")
+    p.add_argument("--art-dir", default=None,
+                   help="train against this preprocessing tree instead of "
+                        "the preset's (preprocessing ablations)")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
+    if a.art_dir:
+        from pcnerf_tpu.presets import override_art_dir
+        data = override_art_dir(cfg.data, a.art_dir)
+        cfg = dataclasses.replace(
+            cfg, data=data,
+            loss=dataclasses.replace(cfg.loss,
+                                     sub_nerf_count=data.sub_nerf_count))
     if a.epochs is not None:
         cfg = dataclasses.replace(cfg, num_epochs=a.epochs)
     if a.seed is not None:

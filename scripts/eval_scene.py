@@ -28,6 +28,9 @@ def main():
     p.add_argument("--sparsity", default="20")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--result-dir", default=None)
+    p.add_argument("--art-dir", default=None,
+                   help="evaluate against this preprocessing tree instead "
+                        "of the preset's (preprocessing ablations)")
     p.add_argument("--rays-from", default=None,
                    help="load pre-built grouped test rays from this result "
                         "tree instead of building them (the "
@@ -44,6 +47,10 @@ def main():
     import dataclasses
     cfg = (kitti00_eval if a.preset == "kitti00" else maicity00_eval)(
         method=a.method, sparsity=a.sparsity)
+    if a.art_dir:
+        from pcnerf_tpu.presets import override_art_dir
+        cfg = dataclasses.replace(cfg,
+                                  data=override_art_dir(cfg.data, a.art_dir))
     if a.pallas:
         cfg = dataclasses.replace(cfg, use_pallas=True)
     if a.rays_from:

@@ -136,3 +136,27 @@ def test_inverse_cdf_interp_matches_gather_formulation():
                                             jnp.asarray(bins),
                                             jnp.asarray(u)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sample_pdf_merged_equals_unfused_chain():
+    """sample_pdf_merged == merge_sorted(z, sample_pdf(...)) bit-for-bit,
+    both det modes, same key."""
+    import jax
+    from pcnerf_tpu.ops.sampling import (merge_sorted, sample_pdf,
+                                         sample_pdf_merged)
+
+    rng = np.random.default_rng(7)
+    R, N, K = 12, 65, 130
+    z = np.sort(rng.uniform(0.5, 60.0, (R, N)), -1).astype(np.float32)
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = rng.uniform(0, 1, (R, N - 2)).astype(np.float32)
+    w[:, 30:40] = 0.0  # flat-cdf ties
+    key = jax.random.PRNGKey(3)
+    for det in (True, False):
+        z_new = sample_pdf(key, jnp.asarray(mids), jnp.asarray(w), K, det)
+        want = np.asarray(merge_sorted(jnp.asarray(z), z_new))
+        got = np.asarray(sample_pdf_merged(key, jnp.asarray(z),
+                                           jnp.asarray(mids),
+                                           jnp.asarray(w), K, det))
+        assert got.shape == (R, N + K)
+        np.testing.assert_array_equal(got, want)
