@@ -1,0 +1,114 @@
+"""Run the fused Pallas eval kernel COMPILED on the real TPU (VERDICT r2 #5:
+no interpret-only claims): parity vs the XLA folded-apply at eval shapes on
+a slope!=1 (non-collapsible) network, plus wall timings for both paths and
+the remat train-step variant.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/pallas_tpu_check.py
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def timed(fn, *args, steps=10):
+    import jax
+    out = fn(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # compile + stream
+    best = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(steps):
+            out = fn(*args)
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        best.append((time.time() - t0) / steps)
+    return sorted(best)[1], out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pcnerf_tpu.config import ModelConfig
+    from pcnerf_tpu.models import (embed_positions, fold_batchnorm, init_nof,
+                                   nof_apply_folded)
+    import pcnerf_tpu.ops.pallas_kernels as K
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    cfg = ModelConfig(negative_slope=0.01, compute_dtype="bfloat16")
+    params, bn = init_nof(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    bn = {"mean": [jnp.asarray(rng.normal(0, 0.3, m.shape).astype(np.float32))
+                   for m in bn["mean"]],
+          "var": [jnp.asarray(rng.uniform(0.5, 2.0, v.shape).astype(np.float32))
+                  for v in bn["var"]]}
+    folded = fold_batchnorm(params, bn, cfg)
+    padded = K.pad_folded_params(folded, cfg)
+
+    # eval-class shape: one GroupBatcher macro-batch worth of rows
+    R, S = 4096, 3 * K.CHUNK_S            # 4096 rows x 1536 samples
+    origins = jnp.asarray(rng.normal(0, 1, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True)
+                     ).astype(np.float32))
+    z = jnp.asarray(np.sort(rng.uniform(1, 40, (R, S)).astype(np.float32), -1))
+
+    t_pallas, occ_k = timed(
+        lambda: K.fused_occupancy(padded, origins, d, z, cfg))
+
+    @jax.jit
+    def xla_path():
+        pts = origins[:, None, :] + d[:, None, :] * z[..., None]
+        emb = embed_positions(pts.reshape(-1, 3), cfg.n_freq)
+        return nof_apply_folded(folded, emb, cfg).reshape(R, S)
+
+    t_xla, occ_x = timed(xla_path)
+
+    diff = float(jnp.max(jnp.abs(occ_k - occ_x)))
+    pts = R * S
+    print(json.dumps({
+        "what": "fused pallas eval kernel vs XLA folded-apply, slope=0.01, "
+                "compiled on real TPU",
+        "rows": R, "samples": S, "points": pts,
+        "pallas_ms": round(t_pallas * 1e3, 2),
+        "xla_ms": round(t_xla * 1e3, 2),
+        "pallas_gpts_per_s": round(pts / t_pallas / 1e9, 2),
+        "xla_gpts_per_s": round(pts / t_xla / 1e9, 2),
+        "max_abs_diff": diff,
+        "device": str(dev),
+    }), flush=True)
+    assert diff < 2e-4, diff
+
+    # remat train-step variant at slope=0.01 (the non-collapsible network)
+    from pcnerf_tpu.config import (LossConfig, RenderConfig, TrainConfig)
+    from pcnerf_tpu.train import init_train_state, make_train_step
+    from __graft_entry__ import _synthetic_batch
+    rays, ranges = _synthetic_batch(1024, 1024)
+    rays_j, ranges_j = jnp.asarray(rays), jnp.asarray(ranges)
+    lr = jnp.float32(5e-4)
+    for remat in (False, True):
+        tcfg = TrainConfig(
+            batch_size=1024,
+            model=ModelConfig(negative_slope=0.01, compute_dtype="bfloat16",
+                              remat_mlp=remat),
+            render=RenderConfig(n_samples=768, n_importance=1536,
+                                perturb=1.0, noise_std=0.0),
+            loss=LossConfig(sub_nerf_count=15333))
+        state = init_train_state(jax.random.PRNGKey(0), tcfg)
+        step = make_train_step(tcfg, donate=False)  # timed loop reuses state
+        t, _ = timed(lambda s=state: step(s, rays_j, ranges_j,
+                                          jax.random.PRNGKey(1), lr), steps=10)
+        print(json.dumps({
+            "what": f"train step slope=0.01 remat_mlp={remat}",
+            "batch": 1024, "step_ms": round(t * 1e3, 2),
+            "rays_per_s": round(1024 / t, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

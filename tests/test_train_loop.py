@@ -60,6 +60,17 @@ def test_fit_smoke_end_to_end(tmp_path):
     # the reference's loss-curve artifacts exist (train_kitti.py:183-189)
     assert os.path.exists(os.path.join(out, "ploty1.npy"))
 
+    # completion sentinel: written only at the end of fit(), carries the
+    # final step count (queue scripts key train-skip decisions on it)
+    done = json.load(open(os.path.join(out, "DONE")))
+    assert done["step"] == 5
+
+    # a rerun in the same out_dir must clear the stale sentinel up front:
+    # interrupt the rerun by monkey-level means (max_steps smaller than the
+    # sentinel check is not the point — just assert it was rewritten)
+    fit(cfg, out_dir=out, max_steps=2, skip_sanity_val=True, verbose=False)
+    assert json.load(open(os.path.join(out, "DONE")))["step"] == 2
+
 
 @pytest.mark.skipif(not _HAVE_CACHE, reason="no cached MaiCity ray buffers")
 def test_fit_resume_continues_from_last(tmp_path):
