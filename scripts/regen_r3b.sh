@@ -31,6 +31,22 @@ for c in c45 c40; do
     --method 2 --version version_1 --art-dir $ART --ckpt $OUT/checkpoints/best
 done
 
+# KITTI OriginalNeRF one-step (BASELINE.md: ref 3.5517 / 0.0089) — the last
+# ablation row the reference ships artifacts for
+evaled eval_kitti_orig1 || \
+step eval_kitti_orig1 timeout 7200 $P scripts/eval_scene.py --preset kitti00 \
+  --method 1 --version version_0 \
+  --ckpt logs/kitti00/1151_1200_view/originalnerf/checkpoints/best
+
+# third sparsity point: 67% (test frames = 2/3 of the sequence)
+MAI_S67=logs/maicity00/maicity_00_1/pcnerf_s67
+trained $MAI_S67 || \
+step train_mai_s67 timeout 3600 $P -m pcnerf_tpu.train.run \
+  --preset maicity00_pcnerf --sparsity 67 --dtype bfloat16 --skip-sanity-val
+evaled eval_mai_s67 || \
+step eval_mai_s67 timeout 7200 $P scripts/eval_scene.py --preset maicity00 \
+  --method 2 --version version_1 --sparsity 67 --ckpt $MAI_S67/checkpoints/best
+
 # Pallas eval kernel + remat train variant, compiled on the real TPU
 grep -q "pallas_ms" logs_bg/pallas_tpu_r3.log 2>/dev/null || \
 step pallas_tpu_r3 timeout 3600 $P scripts/pallas_tpu_check.py
