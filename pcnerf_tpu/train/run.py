@@ -38,6 +38,10 @@ def main():
     p.add_argument("--art-dir", default=None,
                    help="train against this preprocessing tree instead of "
                         "the preset's (preprocessing ablations)")
+    p.add_argument("--n-samples", type=int, default=None,
+                   help="coarse samples/ray (default: preset's 768)")
+    p.add_argument("--n-importance", type=int, default=None,
+                   help="importance samples/ray (default: preset's 1536)")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
@@ -54,6 +58,11 @@ def main():
         cfg = dataclasses.replace(cfg, seed=a.seed)
     if a.batch_size is not None:
         cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
+    if a.n_samples is not None or a.n_importance is not None:
+        r = cfg.render
+        cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+            r, n_samples=a.n_samples or r.n_samples,
+            n_importance=a.n_importance or r.n_importance))
     fit(cfg, out_dir=a.out, rebuild_data=a.rebuild_data,
         warm_start=a.warm_start, max_steps=a.max_steps,
         skip_sanity_val=a.skip_sanity_val, profile_steps=a.profile_steps,

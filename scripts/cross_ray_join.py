@@ -106,6 +106,8 @@ def main():
         oi = np.asarray([p_[0] for p_ in pairs])
         ri = np.asarray([p_[1] for p_ in pairs])
         same = o_sz[oi] == r_sz[ri]
+        smaller = o_sz[oi] < r_sz[ri]   # our group has fewer children
+        larger = o_sz[oi] > r_sz[ri]
         fr = {
             "frame": f, "ours_rays": int(o_sz.shape[0]),
             "ref_rays": int(r_sz.shape[0]), "matched": int(len(pairs)),
@@ -116,6 +118,11 @@ def main():
             "ref_err_diff": float(r_err[ri[~same]].mean()) if (~same).any() else None,
             "our_acc02_same": float((o_err[oi[same]] < 0.2).mean()),
             "ref_acc02_same": float((r_err[ri[same]] < 0.2).mean()),
+            "frac_smaller": float(smaller.mean()),
+            "our_err_smaller": float(o_err[oi[smaller]].mean()) if smaller.any() else None,
+            "ref_err_smaller": float(r_err[ri[smaller]].mean()) if smaller.any() else None,
+            "our_err_larger": float(o_err[oi[larger]].mean()) if larger.any() else None,
+            "ref_err_larger": float(r_err[ri[larger]].mean()) if larger.any() else None,
         }
         per_frame.append(fr)
         print(json.dumps(fr), flush=True)

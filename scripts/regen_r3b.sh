@@ -31,6 +31,19 @@ for c in c45 c40; do
     --method 2 --version version_1 --art-dir $ART --ckpt $OUT/checkpoints/best
 done
 
+# denser-sampling training candidate for the MaiCity cell: same data, same
+# 1-epoch budget, 1024+2048 samples/ray (a framework-side quality knob the
+# TPU step cost affords; eval settings unchanged)
+MAI_DS=logs/maicity00/maicity_00_1/pcnerf_dense
+trained $MAI_DS || \
+step train_mai_dense timeout 3600 $P -m pcnerf_tpu.train.run \
+  --preset maicity00_pcnerf --dtype bfloat16 --skip-sanity-val \
+  --n-samples 1024 --n-importance 2048 --out $MAI_DS
+evaled eval_mai_dense || \
+step eval_mai_dense timeout 5400 $P scripts/eval_scene.py --preset maicity00 \
+  --method 2 --version version_1 --ckpt $MAI_DS/checkpoints/best \
+  --result-dir artifacts/maicity00/maicity_00_1/render_result_dense
+
 # KITTI OriginalNeRF one-step (BASELINE.md: ref 3.5517 / 0.0089) — the last
 # ablation row the reference ships artifacts for
 evaled eval_kitti_orig1 || \
