@@ -174,9 +174,8 @@ def infer_batch(folded_coarse, folded_fine, rays, seg_id, valid, kernel,
                             method, ray_chunk, mlp_mode)
 
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
-    z_new = S.sample_pdf(jax.random.PRNGKey(0), mids, w_c[..., 1:-1],
-                         n_importance, det=True)
-    z_fine = S.merge_sorted(z, z_new)
+    z_fine = S.sample_pdf_merged(jax.random.PRNGKey(0), z, mids,
+                                 w_c[..., 1:-1], n_importance, det=True)
 
     depth_f, _, flag_f = _pass(folded_fine, origins, dirs, z_fine, near_c,
                                far_c, seg_id, n_groups, valid, kernel, mcfg,
