@@ -42,7 +42,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--out", default=os.path.join(REPO, "PERF.md"))
+    # NOT PERF.md: that file carries curated sections; the table is merged
+    # into it by hand after review
+    p.add_argument("--out", default=os.path.join(REPO, "PERF_PROFILE.md"))
     a = p.parse_args()
 
     import jax
