@@ -105,13 +105,12 @@ def main():
     def p_pdf(params, bn, key):
         d, w, z = p_coarse.__wrapped__(params, bn, key)
         mids = 0.5 * (z[..., 1:] + z[..., :-1])
-        z_new = S.sample_pdf(jax.random.fold_in(key, 2), mids,
-                             jax.lax.stop_gradient(w[..., 1:-1]),
-                             rcfg.n_importance, det=False)
-        return S.merge_sorted(z, z_new)
+        return S.sample_pdf_merged(jax.random.fold_in(key, 2), z, mids,
+                                   jax.lax.stop_gradient(w[..., 1:-1]),
+                                   rcfg.n_importance, det=False)
 
     t_pdf = _timer(p_pdf, state.params, state.bn, key, steps=a.steps)
-    add("+ sample_pdf (inverse-CDF sorts) + merge", t_pdf - t_coarse)
+    add("+ fused sample_pdf+merge (inverse-CDF sorts)", t_pdf - t_coarse)
 
     @jax.jit
     def p_fine(params, bn, key):
