@@ -263,9 +263,14 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
     pad_to = -(-int(bs + 1024) // 64) * 64
     pad_to_tail = -(-int(1.5 * bs + 1024) // 64) * 64
     batcher = GroupBatcher(rays, counts)
-    kept = []
     fc = jax.tree.map(jnp.asarray, folded_coarse)
     ff = jax.tree.map(jnp.asarray, folded_fine)
+    # Dispatch every batch before fetching any result: jit dispatch is
+    # async, so the host-side padding + H2D of batch i+1 overlaps batch i's
+    # compute, and on the tunneled backend the per-batch D2H latency is paid
+    # once at the end instead of serializing every iteration.  Outputs are
+    # (pad_to, 3) points + a bool flag per batch — trivially small to hold.
+    pending = []
     for rays_p, seg, valid, n_real in batcher.batches(bs, pad_to, pad_to_tail):
         pts, flag, _, _ = infer_batch(
             fc, ff,
@@ -274,6 +279,9 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
             n_importance=eval_cfg.n_importance,
             method=eval_cfg.depth_inference_method, n_groups=rays_p.shape[0],
             mlp_mode=mlp_mode)
+        pending.append((pts, flag, n_real))
+    kept = []
+    for pts, flag, n_real in pending:
         pts = np.asarray(pts)[:n_real]
         flag = np.asarray(flag)[:n_real]
         kept.append(pts[flag])

@@ -79,12 +79,22 @@ def evaluate(cfg: EvalConfig, ckpt_path: str, out_prefix: str, *,
         _, ff = load_folded_models(child_ckpt_path, cfg)
     suffix = "two_step" if cfg.depth_inference_method == 2 else "one_step"
     times = {}
-    for j in range(cfg.data.data_start, cfg.data.data_end):
-        if not cfg.data.split.is_test_frame(j, cfg.data.data_start):
-            continue
-        frame = j + 1
+    frames = [j + 1 for j in range(cfg.data.data_start, cfg.data.data_end)
+              if cfg.data.split.is_test_frame(j, cfg.data.data_start)]
+    # one-frame prefetch: the test-ray builder is host-CPU work (crops,
+    # child intersection, group assembly — eval_kitti_render.py:246-881's
+    # role) while run_inference is device work; a single worker thread
+    # builds frame i+1's rays while the TPU renders frame i
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = (ex.submit(load_test_rays, cfg, frames[0], create=create_test_data)
+           if frames else None)
+    for idx, frame in enumerate(frames):
         t0 = time.time()
-        rays, counts = load_test_rays(cfg, frame, create=create_test_data)
+        rays, counts = fut.result()
+        if idx + 1 < len(frames):
+            fut = ex.submit(load_test_rays, cfg, frames[idx + 1],
+                            create=create_test_data)
         points = run_inference(cfg, fc, ff, rays, counts, verbose=False)
         out = f"{out_prefix}{frame}_{suffix}.pcd"
         write_pcd(out, points)
@@ -93,6 +103,7 @@ def evaluate(cfg: EvalConfig, ckpt_path: str, out_prefix: str, *,
             print(f"[eval] frame {frame}: {rays.shape[0]} rows -> "
                   f"{points.shape[0]} points in {times[frame]:.1f}s -> {out}",
                   flush=True)
+    ex.shutdown()
     return times
 
 
