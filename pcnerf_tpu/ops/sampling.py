@@ -211,12 +211,17 @@ def sample_pdf_merged(key, z_vals, bins, weights, n_samples: int, det: bool):
     k = n_samples
     dt = cdf.dtype
     keys = jnp.concatenate([cdf, u], axis=-1)
-    is_cdf = jnp.concatenate([jnp.ones((r, m), jnp.int32),
-                              jnp.zeros((r, k), jnp.int32)], axis=-1)
-    binv = jnp.concatenate([bins, jnp.zeros((r, k), bins.dtype)], axis=-1)
-    skey, smask, sbin = jax.lax.sort((keys, is_cdf, binv), num_keys=1,
-                                     is_stable=True)
-    mask = smask == 1
+    # One payload instead of two: bins are z values (>= 0 for every caller —
+    # sampled within non-negative [near, far] ray intervals), so the is_cdf
+    # flag rides the payload's sign (-1 marks u rows).  TPU variadic sort
+    # cost scales with the number of arrays carried through the
+    # compare-exchange network; 3 -> 2 arrays cuts the big (R, M+K) sort's
+    # traffic by a third (measured: the pdf+merge stage is >half the train
+    # step).  The sort is stable on the same single key as before, so the
+    # permutation — and every downstream value — is bit-identical.
+    binv = jnp.concatenate([bins, jnp.full((r, k), -1.0, bins.dtype)], axis=-1)
+    skey, sbin = jax.lax.sort((keys, binv), num_keys=1, is_stable=True)
+    mask = sbin >= 0
     neg = jnp.asarray(-jnp.inf, dt)
     pos = jnp.asarray(jnp.inf, dt)
     cdf_b = jax.lax.cummax(jnp.where(mask, skey, neg), axis=1)
