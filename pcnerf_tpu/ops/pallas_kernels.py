@@ -69,8 +69,8 @@ def pad_folded_params(folded, mcfg: ModelConfig):
     w_skip = w_skip.at[:d_emb].set(L[4]["w"][:d_emb])
     w_skip = w_skip.at[64:].set(L[4]["w"][d_emb:])
     w_tail = jnp.stack([L[i]["w"] for i in range(5, 8)])
-    head_w = jnp.zeros((mcfg.feature_size, 128), jnp.float32)
-    head_w = head_w.at[:, 0].set(folded["head"]["w"][:, 0])
+    # head as a (1, 256) row: consumed by a lane reduction in the kernel
+    head_w = folded["head"]["w"][:, 0].reshape(1, mcfg.feature_size)
     b = jnp.stack([L[i]["b"] for i in range(8)])
     head_b = jnp.zeros((128,), jnp.float32).at[0].set(folded["head"]["b"][0])
     return {"w0": w0, "w_mid": w_mid, "w_skip": w_skip, "w_tail": w_tail,
@@ -78,8 +78,24 @@ def pad_folded_params(folded, mcfg: ModelConfig):
 
 
 def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
-                headw_ref, b_ref, headb_ref, bands_ref, occ_ref, *,
+                headw_ref, b_ref, headb_ref, emb_const_ref, occ_ref, *,
                 n_samples: int, n_freq: int, compute_dtype, slope: float):
+    """Mosaic-legal layout: every vector keeps a 64/128/256-lane minor dim.
+
+    The naive formulation (materialize (P, F, 2, 3) sin/cos then reshape to
+    (P, 60)) dies in Mosaic's infer-vector-layout ("unsupported shape cast"
+    — lane-dim reshapes are not implemented on real TPUs; interpret mode
+    happily accepts them, which is why only a hardware compile caught it).
+    Instead the embedding is computed directly in its final 64-lane layout:
+    the caller pre-expands origin/direction to per-lane values (o_lane[j] =
+    o[axis(j)], zero in the pad lane) so x_lane = o_lane + d_lane * z is the
+    raw coordinate of every embedding channel, and one masked-trig pass
+      emb = (1 - sin_m - cos_m) * x + sin_m * sin(s*x) + cos_m * cos(s*x)
+    produces [x, sin(2^k x), cos(2^k x), ..., 0] with no reshape or concat
+    on the lane dim.  The only reshapes collapse/expand MAJOR dims (lane dim
+    untouched), which Mosaic supports; the skip concat becomes two summed
+    matmuls and the 1-wide head column a lane reduction.
+    """
     f32 = jnp.float32
     cast = (lambda x: x.astype(jnp.bfloat16)) if compute_dtype == "bfloat16" \
         else (lambda x: x)
@@ -95,20 +111,29 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
 
     def chunk_body(c, _):
         zs = z_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)]              # (TILE_R, CS)
-        # points: (TILE_R, CS, 3) -> flattened (TILE_R*CS, 3)
-        o = o_ref[:]                                            # (TILE_R, 3)
+        o = o_ref[:]                                            # (TILE_R, 64)
         d = d_ref[:]
-        pts = o[:, None, :] + d[:, None, :] * zs[..., None]
-        flat = pts.reshape(TILE_R * CHUNK_S, 3)
-        # embedding: [x(3), {sin,cos}(3*n_freq each interleaved)] + 1 pad -> 64
-        bands = bands_ref[0, :n_freq]                           # (n_freq,)
-        scaled = flat[:, None, :] * bands[:, None]              # (P, F, 3)
-        sin = jnp.sin(scaled)
-        cos = jnp.cos(scaled)
-        sc = jnp.concatenate([sin[:, :, None, :], cos[:, :, None, :]], axis=2)
-        emb = jnp.concatenate(
-            [flat, sc.reshape(TILE_R * CHUNK_S, 2 * n_freq * 3),
-             jnp.zeros((TILE_R * CHUNK_S, 1), f32)], axis=-1)   # (P, 64)
+        scale = emb_const_ref[0, :]                             # (64,)
+        sin_m = emb_const_ref[1, :]
+        cos_m = emb_const_ref[2, :]
+        inv2pi = emb_const_ref[3, 0]
+        c1 = emb_const_ref[4, 0]
+        c2 = emb_const_ref[5, 0]
+        c3 = emb_const_ref[6, 0]
+        # per-lane raw coordinate of each embedding channel
+        x = o[:, None, :] + d[:, None, :] * zs[..., None]       # (TILE_R, CS, 64)
+        sx = scale * x
+        # Cody-Waite range reduction before the trig: Mosaic's sin/cos are
+        # accurate only near the principal range, while |sx| reaches
+        # 2^(n_freq-1) * scene_extent ~ 5e4 rad (measured 0.016 occupancy
+        # error vs f64 without this, 25x worse than the XLA path).  2*pi is
+        # split into three <=11-significand-bit terms so k*ci is exact for
+        # k < 2^13, making r = sx mod 2*pi accurate to ~ulp(pi).
+        kf = jnp.round(sx * inv2pi)
+        r = ((sx - kf * c1) - kf * c2) - kf * c3
+        emb3 = ((1.0 - sin_m - cos_m) * x
+                + sin_m * jnp.sin(r) + cos_m * jnp.cos(r))
+        emb = emb3.reshape(TILE_R * CHUNK_S, 64)                # major collapse
 
         h = jnp.dot(cast(emb), cast(w0_ref[:]), preferred_element_type=f32)
         h = act(h + b_ref[0, :])
@@ -119,16 +144,19 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
         # (models.py:92,172): slope^4 on the negatives
         for _ in range(4):
             h = act(h)
-        skip = jnp.concatenate([emb, h], axis=-1)               # (P, 320)
-        h = jnp.dot(cast(skip), cast(wskip_ref[:]),
-                    preferred_element_type=f32) + b_ref[4, :]
+        # skip concat [emb | h] @ w_skip == emb @ w_skip[:64] + h @ w_skip[64:]
+        h = (jnp.dot(cast(emb), cast(wskip_ref[:64, :]),
+                     preferred_element_type=f32)
+             + jnp.dot(cast(h), cast(wskip_ref[64:, :]),
+                       preferred_element_type=f32) + b_ref[4, :])
         for i in range(3):
             h = jnp.dot(cast(h), cast(wtail_ref[i]),
                         preferred_element_type=f32) + b_ref[i + 5, :]
-        logit = jnp.dot(cast(h), cast(headw_ref[:]),
-                        preferred_element_type=f32)[:, 0] + headb_ref[0, 0]
-        occ = jax.nn.sigmoid(logit).reshape(TILE_R, CHUNK_S)
-        occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = occ
+        # head: 256 -> 1 as a lane reduction in (TILE_R, CS) layout
+        h3 = h.reshape(TILE_R, CHUNK_S, 256)                    # major expand
+        logit = jnp.sum(cast(h3) * cast(headw_ref[0, :]), axis=-1,
+                        dtype=f32) + headb_ref[0, 0]
+        occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = jax.nn.sigmoid(logit)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -142,8 +170,43 @@ def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig):
     """
     R, S = z_vals.shape
     assert R % TILE_R == 0 and S % CHUNK_S == 0, (R, S)
-    bands = jnp.zeros((1, 128), jnp.float32).at[0, :mcfg.n_freq].set(
-        jnp.asarray(freq_bands(mcfg.n_freq, mcfg.logscale), jnp.float32))
+    d_emb = mcfg.in_channels
+    bands = np.asarray(freq_bands(mcfg.n_freq, mcfg.logscale), np.float32)
+    # per-lane embedding layout: [x(3), sin_0(3), cos_0(3), sin_1(3), ..., 0]
+    sel = np.zeros((3, 64), np.float32)      # axis(j) selector
+    scale = np.zeros(64, np.float32)
+    sin_m = np.zeros(64, np.float32)
+    cos_m = np.zeros(64, np.float32)
+    for j in range(d_emb):
+        if j < 3:
+            sel[j, j] = 1.0
+        else:
+            q = j - 3
+            k, rem = q // 6, q % 6
+            t, a = rem // 3, rem % 3
+            sel[a, j] = 1.0
+            scale[j] = bands[k]
+            (sin_m if t == 0 else cos_m)[j] = 1.0
+    # Cody-Waite constants: 2*pi = c1 + c2 + c3 with c1, c2 holding <= 10
+    # significand bits each, so k * c1 and k * c2 are exact f32 products for
+    # k < 2^14 (|sx| <= 2^(n_freq-1) * scene extent ~ 7e4 rad => k <~ 1.1e4)
+    two_pi = 2.0 * np.pi
+    c1 = np.float32(np.ldexp(np.round(np.ldexp(two_pi, 7)), -7))   # 10-bit
+    rem = two_pi - np.float64(c1)
+    c2 = np.float32(np.ldexp(np.round(np.ldexp(rem, 19)), -19))    # 10-bit
+    c3 = np.float32(two_pi - np.float64(c1) - np.float64(c2))
+    emb_const = jnp.zeros((8, 64), jnp.float32)
+    emb_const = (emb_const.at[0].set(scale).at[1].set(sin_m).at[2].set(cos_m)
+                 .at[3].set(np.float32(1.0 / two_pi))
+                 .at[4].set(c1).at[5].set(c2).at[6].set(c3))
+    # exact per-lane expansion: a gather, NOT a matmul — the default TPU f32
+    # matmul runs a single bf16 pass, which would quantize the +-100 m
+    # coordinates by ~0.1 m BEFORE the 2^k frequency scaling (measured 0.016
+    # occupancy error end-to-end)
+    axis_map = np.argmax(sel, axis=0)                       # (64,) axis(j)
+    lane_valid = jnp.asarray(sel.sum(axis=0), jnp.float32)  # 0 for dead lanes
+    o_lane = origins.astype(jnp.float32)[:, axis_map] * lane_valid
+    d_lane = dirs.astype(jnp.float32)[:, axis_map] * lane_valid
     grid = (R // TILE_R,)
 
     kernel = functools.partial(_occ_kernel, n_samples=S, n_freq=mcfg.n_freq,
@@ -153,21 +216,21 @@ def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((320, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_R, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, S), jnp.float32),
-    )(origins, dirs, z_vals, padded["w0"], padded["w_mid"], padded["w_skip"],
+    )(o_lane, d_lane, z_vals, padded["w0"], padded["w_mid"], padded["w_skip"],
       padded["w_tail"], padded["head_w"], padded["b"],
-      padded["head_b"].reshape(1, 128), bands)
+      padded["head_b"].reshape(1, 128), emb_const)

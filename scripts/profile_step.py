@@ -58,11 +58,15 @@ def main():
     from __graft_entry__ import _synthetic_batch
 
     B = a.batch
-    mk = lambda **kw: TrainConfig(
-        batch_size=B,
-        model=ModelConfig(compute_dtype="bfloat16", **kw.pop("model", {})),
-        render=RenderConfig(n_samples=768, n_importance=1536, perturb=1.0),
-        loss=LossConfig(sub_nerf_count=15333), **kw)
+
+    def mk(**kw):
+        m = dict(compute_dtype="bfloat16")
+        m.update(kw.pop("model", {}))
+        return TrainConfig(
+            batch_size=B,
+            model=ModelConfig(**m),
+            render=RenderConfig(n_samples=768, n_importance=1536, perturb=1.0),
+            loss=LossConfig(sub_nerf_count=15333), **kw)
     cfg = mk()
     rays_np, ranges_np = _synthetic_batch(B, 1024)
     rays = jnp.asarray(rays_np)
