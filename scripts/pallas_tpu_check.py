@@ -130,12 +130,16 @@ def main():
     from pcnerf_tpu.config import (LossConfig, RenderConfig, TrainConfig)
     from pcnerf_tpu.train import init_train_state, make_train_step
     from __graft_entry__ import _synthetic_batch
-    rays, ranges = _synthetic_batch(1024, 1024)
-    rays_j, ranges_j = jnp.asarray(rays), jnp.asarray(ranges)
     lr = jnp.float32(5e-4)
-    for remat in (False, True):
+    # non-remat at batch 1024 does NOT FIT on a single v5e (XLA's static plan:
+    # 15.88G of 15.75G hbm — the 9 full-batch (rays*samples, 256) activation
+    # saves); that infeasibility is itself the remat argument.  The non-remat
+    # row runs at the reference's protocol batch 256, remat at 1024.
+    for remat, bsz in ((False, 256), (True, 1024)):
+        rays, ranges = _synthetic_batch(bsz, 1024)
+        rays_j, ranges_j = jnp.asarray(rays), jnp.asarray(ranges)
         tcfg = TrainConfig(
-            batch_size=1024,
+            batch_size=bsz,
             model=ModelConfig(negative_slope=0.01, compute_dtype="bfloat16",
                               remat_mlp=remat),
             render=RenderConfig(n_samples=768, n_importance=1536,
@@ -147,8 +151,8 @@ def main():
                                           jax.random.PRNGKey(1), lr), steps=10)
         print(json.dumps({
             "what": f"train step slope=0.01 remat_mlp={remat}",
-            "batch": 1024, "step_ms": round(t * 1e3, 2),
-            "rays_per_s": round(1024 / t, 1)}), flush=True)
+            "batch": bsz, "step_ms": round(t * 1e3, 2),
+            "rays_per_s": round(bsz / t, 1)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -128,32 +128,38 @@ def main():
     add("+ fine MLP/moments + composite + child", t_fine - t_pdf)
 
     # ---- full steps -------------------------------------------------------
+    # slope-0.01 without remat at batch 1024 exceeds v5e HBM at compile time
+    # (15.88G static plan) — it runs at the reference's protocol batch 256
     variants = [
-        ("full train step (collapse, bf16)", mk(), "the shipped quirk config"),
+        ("full train step (collapse, bf16)", mk(), B, "the shipped quirk config"),
         ("full train step (collapse, f32)",
-         mk(model={"compute_dtype": "float32"}), ""),
-        ("full train step (slope 0.01, bf16)",
-         mk(model={"negative_slope": 0.01}),
+         mk(model={"compute_dtype": "float32"}), B, ""),
+        ("full train step (slope 0.01, bf16, batch 256)",
+         mk(model={"negative_slope": 0.01}), 256,
          "presumably-intended network; 9-matmul XLA path"),
         ("full train step (slope 0.01 + remat, bf16)",
-         mk(model={"negative_slope": 0.01, "remat_mlp": True}),
+         mk(model={"negative_slope": 0.01, "remat_mlp": True}), B,
          "jax.checkpoint over the MLP"),
     ]
     full = {}
-    for name, vcfg, note in variants:
+    for name, vcfg, bsz, note in variants:
+        import dataclasses as _dc
+        vcfg = _dc.replace(vcfg, batch_size=bsz)
+        vrays, vgt = (rays, gt) if bsz == B else map(
+            jnp.asarray, _synthetic_batch(bsz, 1024))
         st = init_train_state(jax.random.PRNGKey(0), vcfg)
         step = make_train_step(vcfg, donate=False)
 
-        def run(s=st, stp=step):
-            _, m = stp(s, rays, gt, key, lr)
+        def run(s=st, stp=step, r=vrays, g=vgt):
+            _, m = stp(s, r, g, key, lr)
             return m["loss"]
 
         t = _timer(lambda: run(), steps=max(5, a.steps // 2))
-        full[name] = t
-        add(name, t, note)
+        full[name] = (t, bsz)
+        add(name, t, note + f" ({bsz / t:.0f} rays/s)")
 
     fwd_total = t_fine
-    step_t = full["full train step (collapse, bf16)"]
+    step_t = full["full train step (collapse, bf16)"][0]
     with open(a.out, "w") as f:
         f.write("# PERF — train-step component breakdown (real TPU)\n\n")
         f.write(f"Config: batch {B}, 768+1536 samples, bf16 matmuls, "
@@ -169,12 +175,14 @@ def main():
         f.write(f"\nForward pipeline total {fwd_total*1000:.1f} ms; full "
                 f"fwd+bwd+Adam step {step_t*1000:.1f} ms "
                 f"({B/step_t:.0f} rays/s).\n\n")
-        slope_t = full["full train step (slope 0.01, bf16)"]
-        f.write(f"slope-0.01 step: {slope_t*1000:.1f} ms = "
-                f"{slope_t/step_t:.2f}x the collapsed step "
-                f"(VERDICT #9 target: within 2x).\n")
+        slope_t, slope_b = full["full train step (slope 0.01, bf16, batch 256)"]
+        f.write(f"slope-0.01 step (batch {slope_b}): {slope_t*1000:.1f} ms "
+                f"({slope_b/slope_t:.0f} rays/s) vs the collapsed step's "
+                f"{B/step_t:.0f} rays/s (VERDICT #9 target: within 2x).\n")
         f.write(f"\nDevice: {jax.devices()[0]}\n")
-    print(json.dumps({k: round(v * 1000, 2) for k, v in full.items()}))
+    print(json.dumps({k: {"ms": round(t * 1000, 2), "batch": b,
+                          "rays_per_s": round(b / t, 1)}
+                      for k, (t, b) in full.items()}))
 
 
 if __name__ == "__main__":
