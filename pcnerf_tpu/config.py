@@ -132,6 +132,11 @@ class RenderConfig:
     child_mask_gamma0_free: float = 0.0
     child_mask_gamma0: float = 2.0
     child_mask_gamma_step: float = 0.01
+    # Importance-sampling bracketing implementation: "sort" (r3's sort-native
+    # chain), "dense" (masked-reduction brackets, bit-identical output), or
+    # "auto" (dense at train-class M*K, sort at eval-class — see
+    # ops/sampling.py:sample_pdf_merged_auto and scripts/pdf_dense_bench.py).
+    pdf_bracket: str = "sort"
 
 
 @dataclass(frozen=True)
@@ -143,6 +148,12 @@ class LossConfig:
     lambda_loss_fine: float = 1.0
     lambda_child_free: float = 1e6
     lambda_child_depth: float = 1e5
+    # Opacity regularizer weight (reference render.py:224 computes the term
+    # in its legacy path; 0 by default — the shipped trainer never adds it).
+    # Positive values push per-sample occupancy toward {0, 1}, the designed
+    # lever against the diffuse near-origin background occupancy that the
+    # one-step parent-bound compositing integrates (RESULTS.md note 3).
+    lambda_opacity: float = 0.0
     use_child_nerf_loss: bool = True
     use_child_nerf_divide: bool = False
     sub_nerf_count: int = 15333    # number of child NeRF AABBs

@@ -87,23 +87,27 @@ def evaluate(cfg: EvalConfig, ckpt_path: str, out_prefix: str, *,
     # builds frame i+1's rays while the TPU renders frame i
     from concurrent.futures import ThreadPoolExecutor
     ex = ThreadPoolExecutor(max_workers=1)
-    fut = (ex.submit(load_test_rays, cfg, frames[0], create=create_test_data)
-           if frames else None)
-    for idx, frame in enumerate(frames):
-        t0 = time.time()
-        rays, counts = fut.result()
-        if idx + 1 < len(frames):
-            fut = ex.submit(load_test_rays, cfg, frames[idx + 1],
-                            create=create_test_data)
-        points = run_inference(cfg, fc, ff, rays, counts, verbose=False)
-        out = f"{out_prefix}{frame}_{suffix}.pcd"
-        write_pcd(out, points)
-        times[frame] = time.time() - t0
-        if verbose:
-            print(f"[eval] frame {frame}: {rays.shape[0]} rows -> "
-                  f"{points.shape[0]} points in {times[frame]:.1f}s -> {out}",
-                  flush=True)
-    ex.shutdown()
+    try:
+        fut = (ex.submit(load_test_rays, cfg, frames[0],
+                         create=create_test_data) if frames else None)
+        for idx, frame in enumerate(frames):
+            t0 = time.time()
+            rays, counts = fut.result()
+            if idx + 1 < len(frames):
+                fut = ex.submit(load_test_rays, cfg, frames[idx + 1],
+                                create=create_test_data)
+            points = run_inference(cfg, fc, ff, rays, counts, verbose=False)
+            out = f"{out_prefix}{frame}_{suffix}.pcd"
+            write_pcd(out, points)
+            times[frame] = time.time() - t0
+            if verbose:
+                print(f"[eval] frame {frame}: {rays.shape[0]} rows -> "
+                      f"{points.shape[0]} points in {times[frame]:.1f}s -> "
+                      f"{out}", flush=True)
+    finally:
+        # an exception mid-loop must not leak the worker (advisor r3, low);
+        # cancel_futures drops an in-flight prefetch instead of waiting on it
+        ex.shutdown(cancel_futures=True)
     return times
 
 

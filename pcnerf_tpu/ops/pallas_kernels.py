@@ -57,8 +57,8 @@ def pad_folded_params(folded, mcfg: ModelConfig):
       w0 (64, 256), w_mid (3, 256, 256)  [layers 1..3]
       w_skip (320, 256)                  [layer 4; zero row at channel 63]
       w_tail (3, 256, 256)               [layers 5..7]
-      head_w (256, 1) -> padded to (256, 128) col 0 real
-      biases b (8, 256), head_b (128,)
+      head_w (1, 256) row                [consumed by a VPU lane reduction]
+      biases b (8, 256), head_b (128,) col 0 real
     """
     L = folded["layers"]
     d_emb = mcfg.in_channels            # 63
@@ -152,9 +152,12 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
         for i in range(3):
             h = jnp.dot(cast(h), cast(wtail_ref[i]),
                         preferred_element_type=f32) + b_ref[i + 5, :]
-        # head: 256 -> 1 as a lane reduction in (TILE_R, CS) layout
+        # head: 256 -> 1 as a lane reduction in (TILE_R, CS) layout.  The
+        # product stays f32 (h and head_w uncast): the reduction is VPU-bound
+        # either way, and a bf16 product rounds each term before the f32 sum
+        # (measured max err vs f64 8.3e-4 bf16 vs 6.3e-4 f32 — advisor r3)
         h3 = h.reshape(TILE_R, CHUNK_S, 256)                    # major expand
-        logit = jnp.sum(cast(h3) * cast(headw_ref[0, :]), axis=-1,
+        logit = jnp.sum(h3 * headw_ref[0, :], axis=-1,
                         dtype=f32) + headb_ref[0, 0]
         occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = jax.nn.sigmoid(logit)
         return 0

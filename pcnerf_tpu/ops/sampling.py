@@ -173,6 +173,84 @@ def merge_sorted(z_vals, z_new):
     return jnp.sort(jnp.concatenate([z_vals, z_new], axis=-1), axis=-1)
 
 
+def _dense_brackets(cdf, bins, u):
+    """Right-side searchsorted brackets via dense masked reductions.
+
+    For each u: ``cdf_b = max{cdf_i : cdf_i <= u}`` (ties included — exactly
+    torch's right-side semantics), ``cdf_a = min{cdf_i : cdf_i > u}``, and
+    the bin brackets ride the same masks (cdf and bins are both ascending in
+    i, so the masked max/min of bins IS the bin at the bracketing index).
+    These are the SAME four values the stable-sort + cummax-fill path
+    produces (ops above), bit for bit — but computed in ONE fused
+    broadcast-compare reduction pass over the (K, M) pair grid instead of a
+    ~log^2(M+K)-pass compare-exchange sort network.  The sort network is
+    HBM-bandwidth-bound (PERF.md: the pdf stage is 50% of the train step at
+    ~13 GB of sort traffic); the dense pass is VPU-compute-bound with O(R)
+    HBM traffic, which wins whenever M*K is small enough (train shapes:
+    766 x 1536 per ray).  At eval shapes (4097 x 8192) the O(M*K) compute
+    exceeds the sort's bandwidth cost — callers choose per shape.
+    """
+    dt = cdf.dtype
+    neg = jnp.asarray(-jnp.inf, dt)
+    pos = jnp.asarray(jnp.inf, dt)
+    le = cdf[:, None, :] <= u[:, :, None]            # (R, K, M), fused below
+    cdf_b = jnp.max(jnp.where(le, cdf[:, None, :], neg), axis=-1)
+    bin_b = jnp.max(jnp.where(le, bins[:, None, :], neg), axis=-1)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf[:, None, :]), axis=-1)
+    bin_a = jnp.min(jnp.where(le, pos, bins[:, None, :]), axis=-1)
+    # clipping identical to the sort path: u beyond the last cdf entry falls
+    # back to the last column; u below cdf[0] (unreachable, cdf[0] == 0) to
+    # the first
+    cdf_a = jnp.where(jnp.isposinf(cdf_a), cdf[:, -1:], cdf_a)
+    bin_a = jnp.where(jnp.isposinf(bin_a), bins[:, -1:], bin_a)
+    cdf_b = jnp.where(jnp.isneginf(cdf_b), cdf[:, :1], cdf_b)
+    bin_b = jnp.where(jnp.isneginf(bin_b), bins[:, :1], bin_b)
+    return cdf_b, bin_b, cdf_a, bin_a
+
+
+def sample_pdf_merged_auto(key, z_vals, bins, weights, n_samples: int,
+                           det: bool, mode: str = "auto"):
+    """Dispatch between the sort-native and dense-reduction forms of
+    ``sample_pdf_merged`` (bit-identical outputs — tests/test_sampling.py).
+
+    ``auto`` picks dense when the per-ray (M x K) compare grid is small
+    enough to be VPU-compute-cheap (train shapes; measured on v5e by
+    scripts/pdf_dense_bench.py) and the sort network otherwise (eval
+    shapes, where O(M*K) compute dwarfs the sort's bandwidth cost)."""
+    if mode == "auto":
+        mode = ("dense" if bins.shape[-1] * n_samples <= 2_000_000
+                else "sort")
+    fn = sample_pdf_merged_dense if mode == "dense" else sample_pdf_merged
+    return fn(key, z_vals, bins, weights, n_samples, det)
+
+
+def sample_pdf_merged_dense(key, z_vals, bins, weights, n_samples: int,
+                            det: bool):
+    """``sample_pdf_merged`` with dense-reduction bracketing (see
+    :func:`_dense_brackets`): bit-identical output, no bracketing sort.
+    The only remaining sort is the final merge of ``[z_vals | out]`` —
+    (R, N+K) wide, 1 array, vs the sort path's (R, M+K) 2-array bracketing
+    sort + (R, N+M+K) merge.  tests/test_sampling.py asserts equality."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,),
+                               dtype=cdf.dtype)
+
+    cdf_b, bin_b, cdf_a, bin_a = _dense_brackets(cdf, bins, u)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_b) / denom
+    out = bin_b + t * (bin_a - bin_b)
+    return jnp.sort(jnp.concatenate([z_vals, out], axis=-1), axis=-1)
+
+
 def sample_pdf_merged(key, z_vals, bins, weights, n_samples: int, det: bool):
     """``merge_sorted(z_vals, sample_pdf(key, bins, weights, ...))`` fused.
 
@@ -211,17 +289,20 @@ def sample_pdf_merged(key, z_vals, bins, weights, n_samples: int, det: bool):
     k = n_samples
     dt = cdf.dtype
     keys = jnp.concatenate([cdf, u], axis=-1)
-    # One payload instead of two: bins are z values (>= 0 for every caller —
-    # sampled within non-negative [near, far] ray intervals), so the is_cdf
-    # flag rides the payload's sign (-1 marks u rows).  TPU variadic sort
-    # cost scales with the number of arrays carried through the
+    # One payload instead of two: the is_cdf flag rides the payload with -inf
+    # marking u rows — a value no finite bin can take, so bins may be ANY
+    # finite z (near_child = near_c - surface_expand can dip slightly below 0
+    # for rays entering a child AABB near the origin; a sign-based sentinel
+    # would silently misclassify those rows — advisor r3, medium).  TPU
+    # variadic sort cost scales with the number of arrays carried through the
     # compare-exchange network; 3 -> 2 arrays cuts the big (R, M+K) sort's
     # traffic by a third (measured: the pdf+merge stage is >half the train
     # step).  The sort is stable on the same single key as before, so the
     # permutation — and every downstream value — is bit-identical.
-    binv = jnp.concatenate([bins, jnp.full((r, k), -1.0, bins.dtype)], axis=-1)
+    binv = jnp.concatenate(
+        [bins, jnp.full((r, k), -jnp.inf, bins.dtype)], axis=-1)
     skey, sbin = jax.lax.sort((keys, binv), num_keys=1, is_stable=True)
-    mask = sbin >= 0
+    mask = ~jnp.isneginf(sbin)
     neg = jnp.asarray(-jnp.inf, dt)
     pos = jnp.asarray(jnp.inf, dt)
     cdf_b = jax.lax.cummax(jnp.where(mask, skey, neg), axis=1)

@@ -117,8 +117,12 @@ def _composite_train(params, bn_state, rb: RayBatch, z_vals, key,
     else:
         free = jnp.zeros((), jnp.float32)
         depth_l = jnp.zeros((), jnp.float32)
+    # opacity regularizer (render.py:224): only traced into the graph when
+    # its weight is nonzero, so default configs compile the exact round-3 HLO
+    opac = (C.opacity_regularizer(occ) if lcfg.lambda_opacity != 0.0
+            else jnp.zeros((), jnp.float32))
     return {"depth": depth, "weights": w, "free": free, "depth_loss": depth_l,
-            "bn": new_bn}
+            "opacity": opac, "bn": new_bn}
 
 
 def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
@@ -142,10 +146,10 @@ def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
                               axis_name=axis_name, tp_axis=tp_axis)
 
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_fine = S.sample_pdf_merged(
+    z_fine = S.sample_pdf_merged_auto(
         k_pdf, z_vals, mids,
         jax.lax.stop_gradient(coarse["weights"][..., 1:-1]),
-        rcfg.n_importance, det=(rcfg.perturb == 0.0))
+        rcfg.n_importance, det=(rcfg.perturb == 0.0), mode=rcfg.pdf_bracket)
 
     fine = _composite_train(params_fine, bn_fine, rb, z_fine, k_noise_f,
                             mcfg, rcfg, lcfg, train_bn=True,
@@ -156,6 +160,7 @@ def render_rays_train(params_coarse, bn_coarse, params_fine, bn_fine,
         "child_free_loss": coarse["free"], "child_free_loss_fine": fine["free"],
         "child_depth_loss": coarse["depth_loss"],
         "child_depth_loss_fine": fine["depth_loss"],
+        "opacity": coarse["opacity"], "opacity_fine": fine["opacity"],
         "bn_coarse": coarse["bn"], "bn_fine": fine["bn"],
     }
 
@@ -182,8 +187,10 @@ def render_rays_val(params_coarse, bn_coarse, params_fine, bn_fine,
 
     depth, w = one_pass(params_coarse, bn_coarse, z_vals, k_noise_c)
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_fine = S.sample_pdf_merged(k_pdf, z_vals, mids, w[..., 1:-1],
-                                 rcfg.n_importance, det=(rcfg.perturb == 0.0))
+    z_fine = S.sample_pdf_merged_auto(k_pdf, z_vals, mids, w[..., 1:-1],
+                                      rcfg.n_importance,
+                                      det=(rcfg.perturb == 0.0),
+                                      mode=rcfg.pdf_bracket)
     depth_fine, _ = one_pass(params_fine, bn_fine, z_fine, k_noise_f)
     return {"depth": depth, "depth_fine": depth_fine}
 
@@ -219,8 +226,10 @@ def render_rays_legacy(params_coarse, bn_coarse, params_fine, bn_fine,
 
     depth, w, opacity = one_pass(params_coarse, bn_coarse, z_vals, k_noise_c)
     mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_fine = S.sample_pdf_merged(k_pdf, z_vals, mids, w[..., 1:-1],
-                                 rcfg.n_importance, det=(rcfg.perturb == 0.0))
+    z_fine = S.sample_pdf_merged_auto(k_pdf, z_vals, mids, w[..., 1:-1],
+                                      rcfg.n_importance,
+                                      det=(rcfg.perturb == 0.0),
+                                      mode=rcfg.pdf_bracket)
     depth_fine, w_fine, opacity_fine = one_pass(params_fine, bn_fine, z_fine,
                                                 k_noise_f)
     # depth2: the z of each ray's max-weight sample (render.py:598-600)

@@ -65,7 +65,7 @@ def main(argv=None):
     p.add_argument("--block-frames", type=int, default=50)
     p.add_argument("--block-index", type=int, default=None,
                    help="process only this block (multi-host sharding)")
-    p.add_argument("--phase", choices=["preprocess", "train", "all"],
+    p.add_argument("--phase", choices=["preprocess", "train", "eval", "all"],
                    default="all")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--sparsity", default="20")
@@ -100,6 +100,54 @@ def main(argv=None):
                                           batch_size_val=a.batch_size)
             fit(cfg, out_dir=os.path.join(art, "train"),
                 skip_sanity_val=True, max_steps=a.max_steps)
+        if a.phase in ("eval", "all"):
+            res = eval_block(a, art, bs, be)
+            print(f"=== block [{bs}, {be}) metrics: "
+                  f"{json.dumps({k: v for k, v in res.items() if k != 'per_frame'})}",
+                  flush=True)
+
+
+def eval_block(a, art: str, bs: int, be: int) -> dict:
+    """Per-block two-step render + offline CD/F report — the reference's
+    per-block deliverable (its README.md:56-59 runs *_eval.bash +
+    print_metrics.py by hand for every block dir).  Renders every test frame
+    of the block with the block's trained checkpoint, then scores with the
+    exact print_metrics.py-semantics reporter."""
+    import shutil
+
+    from pcnerf_tpu.config import EvalConfig, ModelConfig
+    from pcnerf_tpu.eval.report import error_metrics
+    from pcnerf_tpu.eval.run import evaluate
+
+    data = block_data_config(a.dataset, a.root, a.poses, a.out, bs, be)
+    if a.dataset == "kitti":
+        # the reference evaluates with the smaller vehicle-body crop than it
+        # trains with (presets.kitti00_eval note)
+        data = dataclasses.replace(data, range_delete=(2.0, 1.0, 0.5))
+    data = dataclasses.replace(
+        data, split=dataclasses.replace(data.split, sparsity=a.sparsity))
+    ecfg = EvalConfig(depth_inference_method=2, n_samples=4096,
+                      n_importance=8192, batch_size=4096,
+                      model=ModelConfig(compute_dtype="bfloat16"), data=data)
+    result_dir = os.path.join(art, "render_result")
+    os.makedirs(os.path.join(result_dir, "infer"), exist_ok=True)
+    os.makedirs(os.path.join(result_dir, "source"), exist_ok=True)
+    ckpt = os.path.join(art, "train", "checkpoints", "best")
+    prefix = os.path.join(result_dir, "infer", "version_1_")
+    evaluate(ecfg, ckpt, prefix, create_test_data=False)
+    for j in range(bs, be):
+        if not data.split.is_test_frame(j, bs):
+            continue
+        f = j + 1
+        src = os.path.join(art, "two_step", f"{f}pcd",
+                           "childnerf_ray_intersect")
+        for suffix in ("source", "pose"):
+            s = os.path.join(src, f"{f}_{suffix}.pcd")
+            d = os.path.join(result_dir, "source", f"{f}_{suffix}.pcd")
+            if os.path.exists(s) and not os.path.exists(d):
+                shutil.copy(s, d)
+    return error_metrics(result_dir, "version_1", "two-step", bs, be,
+                         use_device=False, split=data.split)
 
 
 if __name__ == "__main__":

@@ -61,8 +61,12 @@ def _raycast_chunk(origin, dirs, centers, voxel_size):
 
 def voxel_raycast(map_points: np.ndarray, test_points: np.ndarray,
                   origin: np.ndarray, voxel_size: float,
-                  chunk: int = 1024) -> np.ndarray:
+                  chunk: int | None = None) -> np.ndarray:
     centers = jnp.asarray(voxel_downsample(map_points, voxel_size))
+    if chunk is None:
+        # the kernel materializes (chunk, n_centers) pairwise arrays; cap the
+        # pair count so small voxel sizes on big maps stay within HBM
+        chunk = int(max(128, min(4096, 5e7 // max(centers.shape[0], 1))))
     origin = np.asarray(origin, np.float32).reshape(3)
     d = test_points - origin[None, :]
     dirs = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)

@@ -42,6 +42,13 @@ def main():
                    help="coarse samples/ray (default: preset's 768)")
     p.add_argument("--n-importance", type=int, default=None,
                    help="importance samples/ray (default: preset's 1536)")
+    p.add_argument("--lambda-child-free", type=float, default=None,
+                   help="child free-space loss weight override")
+    p.add_argument("--lambda-child-depth", type=float, default=None,
+                   help="child depth loss weight override")
+    p.add_argument("--lambda-opacity", type=float, default=None,
+                   help="opacity regularizer weight (reference "
+                        "render.py:224 term; 0 disables)")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
@@ -58,6 +65,13 @@ def main():
         cfg = dataclasses.replace(cfg, seed=a.seed)
     if a.batch_size is not None:
         cfg = dataclasses.replace(cfg, batch_size=a.batch_size)
+    loss_over = {k: v for k, v in (
+        ("lambda_child_free", a.lambda_child_free),
+        ("lambda_child_depth", a.lambda_child_depth),
+        ("lambda_opacity", a.lambda_opacity)) if v is not None}
+    if loss_over:
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, **loss_over))
     if a.n_samples is not None or a.n_importance is not None:
         r = cfg.render
         cfg = dataclasses.replace(cfg, render=dataclasses.replace(

@@ -122,6 +122,9 @@ def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
                                           + out["child_free_loss_fine"])
                  + L.lambda_child_depth * (out["child_depth_loss"]
                                            + out["child_depth_loss_fine"]))
+        if L.lambda_opacity != 0.0:
+            total = total + L.lambda_opacity * (out["opacity"]
+                                                + out["opacity_fine"])
         new_bn = {"coarse": out["bn_coarse"], "fine": out["bn_fine"]}
         metrics = {
             "loss": total,
@@ -133,6 +136,8 @@ def make_train_step(cfg: TrainConfig, *, axis_name=None, tp_axis=None,
             "avg_error": abs_error(out["depth"], gt),
             "acc_thres": acc_thres(out["depth"], gt),
         }
+        if L.lambda_opacity != 0.0:
+            metrics["opacity_reg"] = out["opacity"] + out["opacity_fine"]
         return total, (new_bn, metrics)
 
     def train_step(state: TrainState, rays, gt, key, lr) -> Tuple[TrainState, Dict]:

