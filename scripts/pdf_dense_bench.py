@@ -28,6 +28,11 @@ from pcnerf_tpu.ops.sampling import sample_pdf_merged, sample_pdf_merged_dense
 
 
 def timed(fn, loops):
+    """Median seconds per call.  Each measured fetch covers a CHAIN of
+    ``inner`` data-dependent applications inside one jit, so the ~26 ms
+    tunnel round-trip amortizes 1/inner instead of dominating a per-call
+    fetch (the first draft of this bench measured 29 vs 27 ms for ops whose
+    real costs are 13 vs 3 ms — pure latency)."""
     fn()                      # warmup (compile)
     ts = []
     for _ in range(loops):
@@ -54,21 +59,34 @@ def main():
     key = jax.random.PRNGKey(9)
     zj, mj, wj = jnp.asarray(z), jnp.asarray(mids), jnp.asarray(w)
 
-    sort_fn = jax.jit(lambda: jnp.sum(
-        sample_pdf_merged(key, zj, mj, wj, K, a.det)))
-    dense_fn = jax.jit(lambda: jnp.sum(
-        sample_pdf_merged_dense(key, zj, mj, wj, K, a.det)))
+    INNER = 16
+
+    def chain(op):
+        # data-dependent chain: each iteration's weights are perturbed by
+        # the previous output's sum so XLA cannot hoist or dedupe the calls
+        def body(c, _):
+            out = op(key, zj, mj, wj + c * 1e-12, K, a.det)
+            return jnp.sum(out) * 1e-20, None
+
+        def run():
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=INNER)
+            return c
+        return jax.jit(run)
+
+    sort_fn = chain(sample_pdf_merged)
+    dense_fn = chain(sample_pdf_merged_dense)
 
     # bit-identity on the real device
     got = jax.jit(lambda: sample_pdf_merged_dense(key, zj, mj, wj, K, a.det))()
     want = jax.jit(lambda: sample_pdf_merged(key, zj, mj, wj, K, a.det))()
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    t_sort = timed(sort_fn, a.loops)
-    t_dense = timed(dense_fn, a.loops)
+    t_sort = timed(sort_fn, a.loops) / INNER
+    t_dense = timed(dense_fn, a.loops) / INNER
     print(json.dumps({
         "shape": {"rays": R, "n_samples": N, "n_importance": K,
                   "det": a.det},
+        "inner_chain": INNER,
         "sort_ms": round(t_sort * 1e3, 2),
         "dense_ms": round(t_dense * 1e3, 2),
         "speedup": round(t_sort / t_dense, 2),
