@@ -78,8 +78,9 @@ def pad_folded_params(folded, mcfg: ModelConfig):
 
 
 def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
-                headw_ref, b_ref, headb_ref, emb_const_ref, occ_ref, *,
-                n_samples: int, n_freq: int, compute_dtype, slope: float):
+                headw_ref, b_ref, headb_ref, emb_const_ref, *refs,
+                n_samples: int, n_freq: int, compute_dtype, slope: float,
+                fuse_weights: bool = False):
     """Mosaic-legal layout: every vector keeps a 64/128/256-lane minor dim.
 
     The naive formulation (materialize (P, F, 2, 3) sin/cos then reshape to
@@ -96,6 +97,10 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
     untouched), which Mosaic supports; the skip concat becomes two summed
     matmuls and the 1-wide head column a lane reduction.
     """
+    if fuse_weights:
+        tri_ref, occ_ref = refs     # strict-lower-tri ones + weights output
+    else:
+        (occ_ref,) = refs
     f32 = jnp.float32
     cast = (lambda x: x.astype(jnp.bfloat16)) if compute_dtype == "bfloat16" \
         else (lambda x: x)
@@ -109,7 +114,7 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
 
     n_chunks = n_samples // CHUNK_S
 
-    def chunk_body(c, _):
+    def chunk_body(c, carry):
         zs = z_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)]              # (TILE_R, CS)
         o = o_ref[:]                                            # (TILE_R, 64)
         d = d_ref[:]
@@ -159,15 +164,39 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
         h3 = h.reshape(TILE_R, CHUNK_S, 256)                    # major expand
         logit = jnp.sum(h3 * headw_ref[0, :], axis=-1,
                         dtype=f32) + headb_ref[0, 0]
-        occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = jax.nn.sigmoid(logit)
-        return 0
+        occ = jax.nn.sigmoid(logit)                             # (TILE_R, CS)
+        if not fuse_weights:
+            occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = occ
+            return carry
+        # fused compositing epilogue: w_i = occ_i * prod_{j<i}(1 - occ_j)
+        # (ops/compositing.py:occupancy_to_weights).  The running
+        # transmittance T rides the fori_loop carry across S chunks; the
+        # in-chunk exclusive prefix product runs in log space as ONE MXU
+        # matmul against a strict-lower-triangular ones matrix (Mosaic has
+        # no lane-dim cumprod; precision=HIGHEST keeps the log sums f32 —
+        # the default bf16 matmul pass would cost ~0.4% in exp space).
+        pf = jnp.maximum(1.0 - occ, 1e-30)
+        lw = jnp.log(pf)
+        excl = jnp.dot(lw, tri_ref[:], preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+        w = carry[:, :1] * jnp.exp(excl) * occ
+        occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = w
+        total = jnp.sum(lw, axis=-1, keepdims=True)             # (TILE_R, 1)
+        return carry * jnp.exp(total)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    init = (jnp.ones((TILE_R, 128), f32) if fuse_weights else 0)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("mcfg",))
-def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig):
-    """(R, S) occupancy via the fused Pallas kernel.
+@functools.partial(jax.jit, static_argnames=("mcfg", "fuse_weights"))
+def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig,
+                    fuse_weights: bool = False):
+    """(R, S) occupancy via the fused Pallas kernel — or, with
+    ``fuse_weights=True``, the (R, S) UNNORMALIZED transmittance weights
+    ``w_i = occ_i * prod_{j<i}(1-occ_j)`` with the compositing cumprod fused
+    into the same VMEM-resident pass (SURVEY §7 step 5's remaining scope:
+    the slope!=1 eval path's compositing stage; cumprod semantics from
+    ops/compositing.py:occupancy_to_weights, reference nof/render.py:52-55).
 
     R must be a multiple of TILE_R and S of CHUNK_S.
     """
@@ -214,26 +243,34 @@ def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig):
 
     kernel = functools.partial(_occ_kernel, n_samples=S, n_freq=mcfg.n_freq,
                                compute_dtype=mcfg.compute_dtype,
-                               slope=mcfg.negative_slope)
+                               slope=mcfg.negative_slope,
+                               fuse_weights=fuse_weights)
+    in_specs = [
+        pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE_R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((320, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [o_lane, d_lane, z_vals, padded["w0"], padded["w_mid"],
+            padded["w_skip"], padded["w_tail"], padded["head_w"], padded["b"],
+            padded["head_b"].reshape(1, 128), emb_const]
+    if fuse_weights:
+        tri = jnp.asarray(np.triu(np.ones((CHUNK_S, CHUNK_S), np.float32), 1))
+        in_specs.append(pl.BlockSpec((CHUNK_S, CHUNK_S), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(tri)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((320, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 256, 256), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE_R, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, S), jnp.float32),
-    )(o_lane, d_lane, z_vals, padded["w0"], padded["w_mid"], padded["w_skip"],
-      padded["w_tail"], padded["head_w"], padded["b"],
-      padded["head_b"].reshape(1, 128), emb_const)
+    )(*args)

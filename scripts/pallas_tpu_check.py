@@ -128,6 +128,25 @@ def main():
     assert err_pallas < max(4.0 * err_xla, 1e-3), (err_pallas, err_xla)
     assert err_pallas < 5e-3 and err_xla < 2e-3, (err_pallas, err_xla)
 
+    # fused compositing epilogue (round 4): same kernel with the
+    # transmittance cumprod fused in (log-space MXU prefix product +
+    # cross-chunk carry) — the slope!=1 eval path's remaining fusion scope
+    from pcnerf_tpu.ops.compositing import occupancy_to_weights
+    t_pw, w_k = timed(
+        lambda: K.fused_occupancy(padded, origins, d, z, cfg,
+                                  fuse_weights=True))
+    t_xw, w_x = timed(jax.jit(
+        lambda: occupancy_to_weights(xla_path())))
+    err_w = float(jnp.max(jnp.abs(w_k - occupancy_to_weights(occ_k))))
+    print(json.dumps({
+        "what": "fused occupancy+compositing weights kernel",
+        "pallas_weights_ms": round(t_pw * 1e3, 2),
+        "xla_occ_plus_weights_ms": round(t_xw * 1e3, 2),
+        "max_abs_err_w_vs_own_occ_composited": err_w,
+    }), flush=True)
+    # the cumprod runs in log space: tolerance is numerical, not bitwise
+    assert err_w < 1e-4, err_w
+
     # remat train-step variant at slope=0.01 (the non-collapsible network)
     from pcnerf_tpu.config import (LossConfig, RenderConfig, TrainConfig)
     from pcnerf_tpu.train import init_train_state, make_train_step
