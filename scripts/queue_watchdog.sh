@@ -38,6 +38,11 @@ while kill -0 "$QUEUE" 2>/dev/null; do
       *) continue ;;
     esac
     mt=$(stat -c %Y "$out" 2>/dev/null) || continue
+    # a re-run APPENDS to its old log: until the first write the mtime is
+    # the PREVIOUS run's — measure idle from the later of log activity and
+    # process start (this killed a healthy retrain 0 s in, once)
+    ps=$(stat -c %Y /proc/$pid 2>/dev/null) || continue
+    [ "$ps" -gt "$mt" ] && mt=$ps
     age=$((now - mt))
     if [ "$age" -gt "$STALL" ]; then
       echo "--- $(date -u +%H:%M:%S) pid $pid wedged (log $out idle ${age}s); killing" >> $LOG
