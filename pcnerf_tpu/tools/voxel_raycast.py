@@ -65,8 +65,10 @@ def voxel_raycast(map_points: np.ndarray, test_points: np.ndarray,
     centers = jnp.asarray(voxel_downsample(map_points, voxel_size))
     if chunk is None:
         # the kernel materializes (chunk, n_centers) pairwise arrays; cap the
-        # pair count so small voxel sizes on big maps stay within HBM
-        chunk = int(max(128, min(4096, 5e7 // max(centers.shape[0], 1))))
+        # pair count so small voxel sizes on big maps stay within HBM while
+        # keeping dispatches few (each costs a tunnel round trip): ~1.5e8
+        # pairs x ~24 B of fused temporaries ~ 3.6 GB of a 16 GB v5e
+        chunk = int(max(128, min(8192, 1.5e8 // max(centers.shape[0], 1))))
     origin = np.asarray(origin, np.float32).reshape(3)
     d = test_points - origin[None, :]
     dirs = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
