@@ -25,19 +25,12 @@ evaled() { grep -q '"cd"' "logs_bg/$1.log" 2>/dev/null; }
 MAI=logs/maicity00/maicity_00_1
 
 # --- 1. headline voxel-raycast baselines (VERDICT #3) --------------------
-grep -q '"voxel": 0.25' logs_bg/voxbase_kitti_r4.log 2>/dev/null || \
+grep -q '"voxel": 0.5' logs_bg/voxbase_kitti_r4.log 2>/dev/null || \
 step voxbase_kitti_r4 timeout 10800 $P scripts/voxel_baseline.py \
-  --preset kitti00 --voxels 0.75 0.5 0.25
-grep -q '"voxel": 0.25' logs_bg/voxbase_mai_r4.log 2>/dev/null || \
+  --preset kitti00 --voxels 0.75 0.5
+grep -q '"voxel": 0.5' logs_bg/voxbase_mai_r4.log 2>/dev/null || \
 step voxbase_mai_r4 timeout 10800 $P scripts/voxel_baseline.py \
-  --preset maicity00 --voxels 0.75 0.5 0.25
-
-# --- 2. multi-block with rendered per-block metrics (VERDICT #5) ---------
-grep -q "metrics" logs_bg/multiblock_r4.log 2>/dev/null || \
-step multiblock_r4 timeout 14400 $P -m pcnerf_tpu.tools.multi_block \
-  --dataset kitti --root $R/kitti/00/pcd_remove_dynamic \
-  --poses $R/kitti/00/poses.txt --out artifacts/kitti00_blocks \
-  --start 1150 --end 1200 --block-frames 25 --dtype bfloat16
+  --preset maicity00 --voxels 0.75 0.5
 
 # --- 3. 80%-sparsity collapse probes + voxel floor (VERDICT #4) ----------
 S80E3=$MAI/pcnerf_s80_e3
@@ -49,6 +42,17 @@ evaled eval_mai_s80_e3_r4 || \
 step eval_mai_s80_e3_r4 timeout 10800 $P scripts/eval_scene.py \
   --preset maicity00 --method 2 --version version_1 --sparsity 80 \
   --ckpt $S80E3/checkpoints/best --result-dir $S80E3/render_result
+grep -q '"voxel": 0.5' logs_bg/voxbase_mai_s80_r4.log 2>/dev/null || \
+step voxbase_mai_s80_r4 timeout 7200 $P scripts/voxel_baseline.py \
+  --preset maicity00 --sparsity 80 --voxels 0.5
+
+# --- 2. multi-block with rendered per-block metrics (VERDICT #5) ---------
+grep -q "metrics" logs_bg/multiblock_r4.log 2>/dev/null || \
+step multiblock_r4 timeout 14400 $P -m pcnerf_tpu.tools.multi_block \
+  --dataset kitti --root $R/kitti/00/pcd_remove_dynamic \
+  --poses $R/kitti/00/poses.txt --out artifacts/kitti00_blocks \
+  --start 1150 --end 1200 --block-frames 25 --dtype bfloat16
+
 S80C40=$MAI/pcnerf_s80_c40
 trained $S80C40 || \
 step train_mai_s80_c40_r4 timeout 5400 $P -m pcnerf_tpu.train.run \
@@ -59,10 +63,6 @@ step eval_mai_s80_c40_r4 timeout 10800 $P scripts/eval_scene.py \
   --preset maicity00 --method 2 --version version_1 --sparsity 80 \
   --art-dir artifacts/maicity00/maicity_00_1_s80c40 \
   --ckpt $S80C40/checkpoints/best --result-dir $S80C40/render_result
-grep -q '"voxel": 0.5' logs_bg/voxbase_mai_s80_r4.log 2>/dev/null || \
-step voxbase_mai_s80_r4 timeout 7200 $P scripts/voxel_baseline.py \
-  --preset maicity00 --sparsity 80 --voxels 0.5
-
 # --- 4. s67 voxel anchor + throughput run + batch curve ------------------
 grep -q '"voxel": 0.5' logs_bg/voxbase_mai_s67_r4.log 2>/dev/null || \
 step voxbase_mai_s67_r4 timeout 7200 $P scripts/voxel_baseline.py \
