@@ -49,6 +49,13 @@ def main():
     p.add_argument("--lambda-opacity", type=float, default=None,
                    help="opacity regularizer weight (reference "
                         "render.py:224 term; 0 disables)")
+    p.add_argument("--lr-milestones", type=int, nargs="*", default=None,
+                   help="override MultiStepLR epoch milestones (reference "
+                        "train_kitti.py:113 hardcodes [5,120,256]); pass "
+                        "with no values for a constant lr — used by the "
+                        "step-matched sparsity rows, whose >5-epoch budgets "
+                        "would otherwise hit the epoch-5 decay the 1-epoch "
+                        "baseline protocol never reaches")
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
@@ -72,6 +79,9 @@ def main():
     if loss_over:
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, **loss_over))
+    if a.lr_milestones is not None:
+        cfg = dataclasses.replace(cfg, optim=dataclasses.replace(
+            cfg.optim, decay_milestones=tuple(a.lr_milestones)))
     if a.n_samples is not None or a.n_importance is not None:
         r = cfg.render
         cfg = dataclasses.replace(cfg, render=dataclasses.replace(
