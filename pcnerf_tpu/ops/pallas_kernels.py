@@ -98,7 +98,10 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
     matmuls and the 1-wide head column a lane reduction.
     """
     if fuse_weights:
-        tri_ref, occ_ref = refs     # strict-lower-tri ones + weights output
+        # strict-UPPER-triangular ones (np.triu(.., 1)) + weights output;
+        # upper because it is RIGHT-multiplied: (lw @ tri_excl)[r, i] sums
+        # lw[r, j] over j < i — the exclusive prefix
+        tri_excl_ref, occ_ref = refs
     else:
         (occ_ref,) = refs
     f32 = jnp.float32
@@ -172,12 +175,13 @@ def _occ_kernel(o_ref, d_ref, z_ref, w0_ref, wmid_ref, wskip_ref, wtail_ref,
         # (ops/compositing.py:occupancy_to_weights).  The running
         # transmittance T rides the fori_loop carry across S chunks; the
         # in-chunk exclusive prefix product runs in log space as ONE MXU
-        # matmul against a strict-lower-triangular ones matrix (Mosaic has
-        # no lane-dim cumprod; precision=HIGHEST keeps the log sums f32 —
-        # the default bf16 matmul pass would cost ~0.4% in exp space).
+        # matmul against a strict-upper-triangular ones matrix (right-
+        # multiplied, so column i sums rows j < i; Mosaic has no lane-dim
+        # cumprod; precision=HIGHEST keeps the log sums f32 — the default
+        # bf16 matmul pass would cost ~0.4% in exp space).
         pf = jnp.maximum(1.0 - occ, 1e-30)
         lw = jnp.log(pf)
-        excl = jnp.dot(lw, tri_ref[:], preferred_element_type=f32,
+        excl = jnp.dot(lw, tri_excl_ref[:], preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
         w = carry[:, :1] * jnp.exp(excl) * occ
         occ_ref[:, pl.ds(c * CHUNK_S, CHUNK_S)] = w
@@ -262,10 +266,11 @@ def fused_occupancy(padded, origins, dirs, z_vals, mcfg: ModelConfig,
             padded["w_skip"], padded["w_tail"], padded["head_w"], padded["b"],
             padded["head_b"].reshape(1, 128), emb_const]
     if fuse_weights:
-        tri = jnp.asarray(np.triu(np.ones((CHUNK_S, CHUNK_S), np.float32), 1))
+        tri_excl = jnp.asarray(
+            np.triu(np.ones((CHUNK_S, CHUNK_S), np.float32), 1))
         in_specs.append(pl.BlockSpec((CHUNK_S, CHUNK_S), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(tri)
+        args.append(tri_excl)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -216,7 +216,15 @@ def sample_pdf_merged_auto(key, z_vals, bins, weights, n_samples: int,
     ``auto`` picks dense when the per-ray (M x K) compare grid is small
     enough to be VPU-compute-cheap (train shapes; measured on v5e by
     scripts/pdf_dense_bench.py) and the sort network otherwise (eval
-    shapes, where O(M*K) compute dwarfs the sort's bandwidth cost)."""
+    shapes, where O(M*K) compute dwarfs the sort's bandwidth cost).
+
+    The threshold is a COMPUTE dispatch rule, deliberately R-independent:
+    dense mode's (R, K, M) where/reduce chain never materializes when XLA
+    fuses it (verified at train shapes R=1024, M*K~1.2e6 on v5e), so peak
+    memory is O(R*(M+K)) like the sort path.  It is NOT a memory-safety
+    bound — a caller that breaks the fusion around ``_dense_brackets``
+    (e.g. jnp.save of an intermediate, or donating it to a multi-consumer
+    graph) reintroduces O(R*M*K) temporaries at large batch."""
     if mode == "auto":
         mode = ("dense" if bins.shape[-1] * n_samples <= 2_000_000
                 else "sort")

@@ -36,8 +36,21 @@ from pcnerf_tpu.train.system import (TrainState, make_train_scan,
                                      make_train_step, make_val_step)
 
 
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh's devices span more than one process — host-local
+    values must then be assembled into global arrays per process
+    (multihost.make_global) instead of device_put from one host."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place a TrainState fully replicated on the mesh."""
+    """Place a TrainState fully replicated on the mesh.  On a multi-process
+    mesh every process supplies its (identical, same-PRNGKey) host copy via
+    the addressable-shard callback; single-process keeps the cheaper
+    device_put."""
+    if mesh_is_multiprocess(mesh):
+        from pcnerf_tpu.parallel.multihost import replicate_tree
+        return replicate_tree(mesh, state)
     return jax.device_put(state, NamedSharding(mesh, P()))
 
 
@@ -71,13 +84,15 @@ def make_gspmd_train_scan(cfg: TrainConfig, mesh: Mesh):
 
 
 def make_gspmd_val_step(cfg: TrainConfig, mesh: Mesh):
-    """Validation step over the mesh; predicted/gt points come back sharded
-    over ``dp`` (they are only ever fetched to host for CD/F)."""
+    """Validation step over the mesh; predicted/gt points come back fully
+    REPLICATED (XLA inserts the all-gather): they are fetched to host for
+    CD/F on every process, and a replicated output is host-fetchable on a
+    multi-process mesh where a dp-sharded one is not (fit()'s validation is
+    process-count-agnostic, tests/test_multihost.py)."""
     raw = make_val_step(cfg, jit=False)
     repl = NamedSharding(mesh, P())
     rays_s = NamedSharding(mesh, P("dp", None))
     gt_s = NamedSharding(mesh, P("dp"))
-    pts_s = NamedSharding(mesh, P("dp", None))
     return jax.jit(raw,
                    in_shardings=(repl, rays_s, gt_s, repl),
-                   out_shardings=(repl, pts_s, pts_s))
+                   out_shardings=(repl, repl, repl))

@@ -66,3 +66,11 @@ def host_shard_batch(mesh: Mesh, rays: np.ndarray, ranges: np.ndarray
     process supplying only its addressable rows."""
     return (make_global(mesh, P("dp", None), rays),
             make_global(mesh, P("dp"), ranges))
+
+
+def host_shard_batch_stack(mesh: Mesh, rays: np.ndarray, ranges: np.ndarray
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Place a (K, B, 15)/(K, B) scan-chunk stack onto the mesh, dp-sharded
+    on the BATCH axis (axis 1) — the layout make_gspmd_train_scan expects."""
+    return (make_global(mesh, P(None, "dp", None), rays),
+            make_global(mesh, P(None, "dp"), ranges))

@@ -126,9 +126,11 @@ def eval_block(a, art: str, bs: int, be: int) -> dict:
         data = dataclasses.replace(data, range_delete=(2.0, 1.0, 0.5))
     data = dataclasses.replace(
         data, split=dataclasses.replace(data.split, sparsity=a.sparsity))
+    # eval under the SAME dtype the block was trained with (--dtype), not a
+    # hardcoded bfloat16 (ADVICE r4)
     ecfg = EvalConfig(depth_inference_method=2, n_samples=4096,
                       n_importance=8192, batch_size=4096,
-                      model=ModelConfig(compute_dtype="bfloat16"), data=data)
+                      model=ModelConfig(compute_dtype=a.dtype), data=data)
     result_dir = os.path.join(art, "render_result")
     os.makedirs(os.path.join(result_dir, "infer"), exist_ok=True)
     os.makedirs(os.path.join(result_dir, "source"), exist_ok=True)
@@ -144,8 +146,20 @@ def eval_block(a, art: str, bs: int, be: int) -> dict:
         for suffix in ("source", "pose"):
             s = os.path.join(src, f"{f}_{suffix}.pcd")
             d = os.path.join(result_dir, "source", f"{f}_{suffix}.pcd")
-            if os.path.exists(s) and not os.path.exists(d):
-                shutil.copy(s, d)
+            if os.path.exists(d):
+                continue
+            if not os.path.exists(s):
+                # fail HERE, naming the missing two_step artifact, instead
+                # of letting error_metrics hit a bare FileNotFoundError on
+                # the copy destination far from the cause (ADVICE r4): the
+                # usual cause is a cached all_rays_child.npy whose
+                # source/pose pcds were cleaned — rebuild with
+                # create_test_data
+                raise FileNotFoundError(
+                    f"expected two_step gt artifact missing: {s} "
+                    "(cached ray npys without their source/pose pcds? "
+                    "re-run the test-ray builder for this block)")
+            shutil.copy(s, d)
     return error_metrics(result_dir, "version_1", "two-step", bs, be,
                          use_device=False, split=data.split)
 

@@ -39,20 +39,29 @@ from pcnerf_tpu.utils.profiling import StepTimer, trace
 
 
 def run_validation(cfg: TrainConfig, state: TrainState, val_step, rays_val,
-                   ranges_val, key) -> dict:
+                   ranges_val, key, mesh=None) -> dict:
     """Full pass over the val subsample; averages metrics over batches and
     computes CD/F on the concatenated predicted/gt points (the reference
     computes CD per batch and lets PL average — equivalent up to batch
-    weighting; batches here are equal-sized)."""
+    weighting; batches here are equal-sized).
+
+    Under a ``mesh`` each batch is assembled dp-sharded from per-host rows
+    (multihost.host_shard_batch) — on a multi-process mesh a host-local
+    numpy slice cannot become a dp-global array any other way; the step's
+    outputs are replicated, so the metric fetch below works on every
+    process."""
     bs = cfg.batch_size_val
     n = (rays_val.shape[0] // bs) * bs
     metrics_acc, cds, fs = [], [], []
     for s in range(0, n, bs):
-        k = jax.random.fold_in(key, s)
-        # numpy slices go straight to the jitted step: uncommitted inputs are
-        # placed per the step's in_shardings (single device or dp mesh alike)
-        m, pred_pts, gt_pts = val_step(state, rays_val[s:s + bs],
-                                       ranges_val[s:s + bs], k)
+        k = np.asarray(jax.random.fold_in(key, s))
+        rb, gb = rays_val[s:s + bs], ranges_val[s:s + bs]
+        if mesh is not None:
+            from pcnerf_tpu.parallel.multihost import host_shard_batch
+            rb, gb = host_shard_batch(mesh, rb, gb)
+        # without a mesh, numpy slices go straight to the jitted step:
+        # uncommitted inputs are placed per the step's in_shardings
+        m, pred_pts, gt_pts = val_step(state, rb, gb, k)
         metrics_acc.append(m)
         cd, f = chamfer_fscore(np.asarray(pred_pts), np.asarray(gt_pts))
         cds.append(cd)
@@ -85,19 +94,51 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
     the single-chip step otherwise; pass an explicit ``jax.sharding.Mesh``
     to pin the layout, or ``None`` to force single-device.  The N-device
     run is step-for-step identical to the 1-device run (global-batch
-    losses/BN, sharding-invariant RNG); tests/test_fit_mesh.py asserts it."""
+    losses/BN, sharding-invariant RNG); tests/test_fit_mesh.py asserts it.
+
+    The mesh path is PROCESS-COUNT-AGNOSTIC (SURVEY §2.4 / §7 hard part 6):
+    after ``jax.distributed.initialize`` the same fit() call on every
+    process trains over the process-spanning mesh — each process derives
+    the identical (seed, epoch) permutation, materializes only its
+    addressable batch rows (multihost.host_shard_batch), enters the
+    collective orbax saves on a deterministic schedule, and process 0
+    writes logs/DONE.  tests/test_multihost.py runs THIS function across 2
+    real processes and asserts the loss curve, val metrics, and checkpoint
+    equal the single-process run."""
     out_dir = out_dir or os.path.join("logs", cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
+
+    if mesh == "auto":
+        n_dev = len(jax.devices())
+        mesh = None
+        if (n_dev > 1 and cfg.batch_size % n_dev == 0
+                and cfg.batch_size_val % n_dev == 0):
+            from pcnerf_tpu.parallel import make_mesh
+            mesh = make_mesh(n_dev, tp=1)
+    # multi-process awareness: on a process-spanning mesh every process runs
+    # this same fit() — compute is collective, host-side artifacts are split:
+    # logs/DONE/timing are written by process 0 only, while orbax checkpoint
+    # saves are entered by ALL processes (they are collective operations)
+    # on a deterministic update-count schedule
+    n_procs = jax.process_count()
+    is_primary = jax.process_index() == 0
+
     # a stale completion sentinel (from a previous finished run in the same
     # out_dir) must not survive into a new/longer run: queue scripts key
     # train-skip decisions on DONE, and a mid-training restored checkpoint
     # without DONE must never be mistaken for a finished training
     # (ADVICE r2, high)
     done_path = os.path.join(out_dir, "DONE")
-    if os.path.exists(done_path):
+    if is_primary and os.path.exists(done_path):
         os.remove(done_path)
-    logger = MetricLogger(out_dir)
-    tracker = BestLastTracker(os.path.join(out_dir, "checkpoints"))
+    # non-primary processes keep a full logger (its flush() feeds the
+    # checkpoint tracker's loss) but write to a throwaway per-process dir
+    log_dir = out_dir if is_primary else os.path.join(
+        out_dir, f"_proc{jax.process_index()}")
+    logger = MetricLogger(log_dir, use_tensorboard=is_primary)
+    tracker = BestLastTracker(
+        os.path.join(out_dir, "checkpoints"),
+        min_interval_updates=10 if n_procs > 1 else None)
     timer = StepTimer()
 
     rays_tr, ranges_tr = load_or_build(cfg.data, "train", rebuild=rebuild_data)
@@ -137,13 +178,6 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         state = state._replace(params={"coarse": pc, "fine": pf},
                                bn={"coarse": bc, "fine": bf})
 
-    if mesh == "auto":
-        n_dev = len(jax.devices())
-        mesh = None
-        if (n_dev > 1 and cfg.batch_size % n_dev == 0
-                and cfg.batch_size_val % n_dev == 0):
-            from pcnerf_tpu.parallel import make_mesh
-            mesh = make_mesh(n_dev, tp=1)
     if mesh is not None:
         from pcnerf_tpu.parallel import (make_gspmd_train_scan,
                                          make_gspmd_train_step,
@@ -152,9 +186,9 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         train_step = make_gspmd_train_step(cfg, mesh)
         train_scan = make_gspmd_train_scan(cfg, mesh)
         val_step = make_gspmd_val_step(cfg, mesh)
-        if verbose:
+        if verbose and is_primary:
             print(f"[fit] data-parallel over {mesh.devices.size} devices "
-                  f"(GSPMD dp mesh)", flush=True)
+                  f"across {n_procs} process(es) (GSPMD dp mesh)", flush=True)
     else:
         from pcnerf_tpu.train.system import make_train_scan
         train_step = make_train_step(cfg)
@@ -168,9 +202,9 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
 
     if not skip_sanity_val:
         m = run_validation(cfg, state, val_step, rays_val, ranges_val,
-                           jax.random.fold_in(key, 99_999))
+                           jax.random.fold_in(key, 99_999), mesh=mesh)
         logger.log_val(0, m)
-        if verbose:
+        if verbose and is_primary:
             print(f"[fit] sanity val: {m}", flush=True)
 
     n_batches = rays_tr.shape[0] // cfg.batch_size
@@ -187,18 +221,25 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
         if (epoch + 1) * n_batches <= resume_step:
             step = (epoch + 1) * n_batches   # epoch fully covered pre-resume
             continue
-        lr = jnp.float32(lr_at_epoch(cfg, epoch))
+        # every process derives the identical permutation from (seed, epoch)
+        # — the deterministic global shuffle (multihost.epoch_permutation's
+        # construction); no cross-host communication
         perm = np.random.default_rng(cfg.seed + epoch).permutation(
             rays_tr.shape[0])[:n_batches * cfg.batch_size]
         if mesh is None:
+            lr = jnp.float32(lr_at_epoch(cfg, epoch))
             p = jnp.asarray(perm.reshape(-1))
             epoch_rays = rays_tr_dev[p].reshape(
                 n_batches, cfg.batch_size, 15)
             epoch_ranges = ranges_tr_dev[p].reshape(
                 n_batches, cfg.batch_size)
         else:
-            # under a mesh the buffers stay on host: each numpy batch slice
-            # is placed per the GSPMD step's dp in_shardings at dispatch
+            # under a mesh the buffers stay on host; each dispatch below
+            # assembles its batch dp-sharded via host_shard_batch — on a
+            # multi-process mesh each process materializes ONLY its
+            # addressable rows, and host-local scalars (numpy lr/key) ride
+            # the replicated in_shardings
+            lr = np.float32(lr_at_epoch(cfg, epoch))
             epoch_rays = rays_tr[perm].reshape(
                 n_batches, cfg.batch_size, 15)
             epoch_ranges = ranges_tr[perm].reshape(
@@ -210,7 +251,7 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             nonlocal t0, rate_step
             last = logger.flush()
             tracker.update(last.get("loss", float("inf")), state)
-            if verbose:
+            if verbose and is_primary:
                 rate = cfg.batch_size * (step - rate_step) / max(
                     time.time() - t0, 1e-9)
                 t0 = time.time()
@@ -230,10 +271,16 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             # edges (epoch tail, max_steps tail) fall through to single steps
             if (scan_k > 1 and b + scan_k <= n_batches
                     and (max_steps is None or step + scan_k <= max_steps)):
+                rb = epoch_rays[b:b + scan_k]
+                gb = epoch_ranges[b:b + scan_k]
+                kk, s0 = key, jnp.int32(step)
+                if mesh is not None:
+                    from pcnerf_tpu.parallel.multihost import \
+                        host_shard_batch_stack
+                    rb, gb = host_shard_batch_stack(mesh, rb, gb)
+                    kk, s0 = np.asarray(key), np.int32(step)
                 with timer.step(scale=scan_k):
-                    state, ms = train_scan(state, epoch_rays[b:b + scan_k],
-                                           epoch_ranges[b:b + scan_k],
-                                           key, lr, jnp.int32(step))
+                    state, ms = train_scan(state, rb, gb, kk, lr, s0)
                 timer.mark_complete(ms["loss"][-1])
                 logger.log_block(step, ms, scan_k)
                 step += scan_k
@@ -241,11 +288,15 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
                 _flush_and_report()
                 continue
             k = jax.random.fold_in(key, step)
+            rb, gb = epoch_rays[b], epoch_ranges[b]
+            if mesh is not None:
+                from pcnerf_tpu.parallel.multihost import host_shard_batch
+                rb, gb = host_shard_batch(mesh, rb, gb)
+                k = np.asarray(k)
             profiling = epoch == 0 and 1 <= step <= profile_steps
             with trace(os.path.join(out_dir, "trace"), enabled=profiling):
                 with timer.step():
-                    state, metrics = train_step(state, epoch_rays[b],
-                                                epoch_ranges[b], k, lr)
+                    state, metrics = train_step(state, rb, gb, k, lr)
                 if profiling or step % cfg.log_every == cfg.log_every - 1:
                     timer.mark_complete(metrics["loss"])
             logger.log_step(step, metrics)
@@ -259,22 +310,25 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
             break
 
         m = run_validation(cfg, state, val_step, rays_val, ranges_val,
-                           jax.random.fold_in(key, 10_000 + epoch))
+                           jax.random.fold_in(key, 10_000 + epoch), mesh=mesh)
         logger.log_val(step, m)
-        if verbose:
+        if verbose and is_primary:
             print(f"[fit] epoch {epoch} val: {m}", flush=True)
 
     last = logger.flush()
     tracker.update(last.get("loss", float("inf")), state)
-    tracker.final()   # flush any debounce-held best/last candidate
-    timer.save(os.path.join(out_dir, "step_times.json"))
+    tracker.final()   # flush any debounce-held best/last candidate (all
+    #                   processes: the orbax save is collective)
     logger.close()
-    # completion sentinel: written ONLY after the final checkpoint flush, so
-    # "DONE exists" <=> "this out_dir's best/ checkpoint is from a finished
-    # training" — the guard queue scripts must use (not best/d existence)
-    import json as _json
-    with open(done_path, "w") as f:
-        _json.dump({"step": int(step), "epochs": cfg.num_epochs,
-                    "planned_steps": n_batches * cfg.num_epochs,
-                    "max_steps": max_steps}, f)
+    if is_primary:
+        timer.save(os.path.join(out_dir, "step_times.json"))
+        # completion sentinel: written ONLY after the final checkpoint
+        # flush, so "DONE exists" <=> "this out_dir's best/ checkpoint is
+        # from a finished training" — the guard queue scripts must use
+        # (not best/ existence)
+        import json as _json
+        with open(done_path, "w") as f:
+            _json.dump({"step": int(step), "epochs": cfg.num_epochs,
+                        "planned_steps": n_batches * cfg.num_epochs,
+                        "max_steps": max_steps}, f)
     return state

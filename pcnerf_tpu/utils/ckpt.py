@@ -52,16 +52,53 @@ class BestLastTracker:
     (VERDICT r3 weak #3).  The reference's PL ``ModelCheckpoint`` only saves
     once per epoch anyway; debounced best/last is strictly more frequent.
     ``final()`` flushes the held candidate unconditionally at training end,
-    so ``best``/``last`` on disk always reflect the finished run."""
+    so ``best``/``last`` on disk always reflect the finished run.  The
+    debounce widens the loss window of an ABRUPT kill to min_interval_s
+    (ADVICE r4) — so ``final()`` is also registered via atexit and a
+    chaining SIGTERM handler: the queue watchdog's first signal is SIGTERM,
+    which now flushes held candidates before the process dies (only kill -9
+    still loses the window)."""
 
-    def __init__(self, ckpt_dir: str, *, min_interval_s: float = 60.0):
+    def __init__(self, ckpt_dir: str, *, min_interval_s: float = 60.0,
+                 min_interval_updates: int | None = None):
+        """``min_interval_updates``: debounce by update() CALL COUNT instead
+        of wall time.  Required on a multi-process mesh, where every process
+        must enter the (collective) orbax save on the same update — a
+        wall-clock window can elapse on one process and not another and
+        deadlock the save."""
         self.dir = ckpt_dir
         self.best = float("inf")
         self.min_interval_s = min_interval_s
+        self.min_interval_updates = min_interval_updates
+        self._updates_since_save = 0
         self._last_save_t = float("-inf")
         self._pending_last = None        # (loss, state) newest unsaved update
         self._pending_best = None        # (loss, state) best unsaved update
         os.makedirs(ckpt_dir, exist_ok=True)
+        if jax.process_count() > 1:
+            # no async flush hooks on a multi-process mesh: final() is a
+            # collective orbax save, and a one-sided atexit/SIGTERM flush
+            # (only one process dying) would hang waiting for peers.  fit()
+            # calls final() explicitly (on every process) at training end.
+            return
+        import atexit
+        atexit.register(self.final)
+        try:                             # main-thread only; best-effort
+            import signal
+            prev = signal.getsignal(signal.SIGTERM)
+
+            def _on_term(signum, frame):
+                try:
+                    self.final()
+                finally:
+                    signal.signal(
+                        signal.SIGTERM,
+                        prev if prev is not None else signal.SIG_DFL)
+                    os.kill(os.getpid(), signum)   # re-deliver to prev/default
+
+            signal.signal(signal.SIGTERM, _on_term)
+        except (ValueError, OSError):    # not main thread / restricted env
+            pass
         sidecar = os.path.join(ckpt_dir, "best.json")
         if os.path.exists(sidecar):
             try:
@@ -83,6 +120,7 @@ class BestLastTracker:
             with open(os.path.join(self.dir, "best.json"), "w") as f:
                 json.dump({"best": self.best}, f)
         self._last_save_t = time.time()
+        self._updates_since_save = 0
         self._pending_last = self._pending_best = None
 
     def update(self, loss: float, state: Any) -> None:
@@ -100,7 +138,11 @@ class BestLastTracker:
                         else self.best)
         if loss < best_pending:
             self._pending_best = (loss, state)
-        if time.time() - self._last_save_t >= self.min_interval_s:
+        self._updates_since_save += 1
+        due = (self._updates_since_save >= self.min_interval_updates
+               if self.min_interval_updates is not None
+               else time.time() - self._last_save_t >= self.min_interval_s)
+        if due:
             self._save_now()
 
     def final(self) -> None:
