@@ -46,11 +46,38 @@ def embedded_dot(x: jnp.ndarray, w_eff: jnp.ndarray, n_freq: int,
     return acc
 
 
+def _lane_constants(n_freq: int, in_ch: int, logscale: bool):
+    """Per-output-lane (scale, raw/sin/cos masks) for the final channel
+    order [x, sin_0, cos_0, sin_1, cos_1, ...] (each block ``in_ch`` wide)."""
+    bands = freq_bands(n_freq, logscale)
+    dim = in_ch + 2 * n_freq * in_ch
+    scale = np.ones(dim, np.float32)
+    raw_m = np.zeros(dim, np.float32)
+    sin_m = np.zeros(dim, np.float32)
+    cos_m = np.zeros(dim, np.float32)
+    raw_m[:in_ch] = 1.0
+    for j in range(in_ch, dim):
+        band = (j - in_ch) // (2 * in_ch)
+        is_cos = ((j - in_ch) // in_ch) % 2
+        scale[j] = bands[band]
+        (cos_m if is_cos else sin_m)[j] = 1.0
+    return scale, raw_m, sin_m, cos_m
+
+
 def embed_positions(x: jnp.ndarray, n_freq: int, logscale: bool = True) -> jnp.ndarray:
     """Embed (..., 3) positions to (..., 3 + 6*n_freq).
 
     Channel order matches the reference exactly: the raw position first, then
     per frequency band a sin block and a cos block (each 3 channels).
+
+    Layout note (measured, round 5): a lane-major reformulation (tile x to
+    (..., 63) and mask-select raw/sin/cos, the pallas kernel's form) is
+    bit-identical but compiles 3x SLOWER under XLA at the train step's
+    shapes (100.8 vs 31.5 ms/step, `logs_bg/bench_newemb_r5.log`): with the
+    63-wide embedding on the lane dimension XLA pads lanes 63->128 and
+    loses the batch-major tiling this form gets (the sin/cos fusion runs
+    with the 2.36M batch dim on lanes).  The band-shaped assembly +
+    reshape is what XLA handles best outside a hand-written kernel.
     """
     bands = jnp.asarray(freq_bands(n_freq, logscale), dtype=x.dtype)
     # (..., n_freq, 3): scaled coordinates per band

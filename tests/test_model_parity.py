@@ -116,3 +116,23 @@ def test_folded_matches_eval():
     occ_eval = np.asarray(nof_apply(params, bn, emb_j, CFG))
     occ_fold = np.asarray(nof_apply_folded(folded, emb_j, CFG))
     np.testing.assert_allclose(occ_fold, occ_eval, atol=3e-6)
+
+
+def test_embedding_matches_reference_assembly():
+    """embed_positions' lane-layout formulation must be BIT-identical to the
+    reference channel assembly (models.py:4-41: [x, sin_k(3), cos_k(3), ...]
+    built by band-wise concat) — same per-lane multiply, same sin/cos."""
+    from pcnerf_tpu.models.embedding import embed_positions, freq_bands
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-120, 120, (257, 3)).astype(np.float32))
+    for n_freq, logscale in ((10, True), (4, True), (3, False)):
+        bands = jnp.asarray(freq_bands(n_freq, logscale), jnp.float32)
+        scaled = x[..., None, :] * bands[:, None]
+        sc = jnp.concatenate([jnp.sin(scaled)[..., None, :],
+                              jnp.cos(scaled)[..., None, :]], axis=-2)
+        sc = sc.reshape(x.shape[0], 2 * n_freq * 3)
+        ref = np.asarray(jnp.concatenate([x, sc], axis=-1))
+        got = np.asarray(embed_positions(x, n_freq, logscale))
+        np.testing.assert_array_equal(got, ref,
+                                      err_msg=f"n_freq={n_freq}")
