@@ -183,12 +183,13 @@ def _dense_brackets(cdf, bins, u):
     These are the SAME four values the stable-sort + cummax-fill path
     produces (ops above), bit for bit — but computed in ONE fused
     broadcast-compare reduction pass over the (K, M) pair grid instead of a
-    ~log^2(M+K)-pass compare-exchange sort network.  The sort network is
-    HBM-bandwidth-bound (PERF.md: the pdf stage is 50% of the train step at
-    ~13 GB of sort traffic); the dense pass is VPU-compute-bound with O(R)
-    HBM traffic, which wins whenever M*K is small enough (train shapes:
-    766 x 1536 per ray).  At eval shapes (4097 x 8192) the O(M*K) compute
-    exceeds the sort's bandwidth cost — callers choose per shape.
+    ~log^2(M+K)-pass compare-exchange sort network.  (Round-5 trace note:
+    at TRAIN shapes the sorts are only ~2.8 ms of the 31 ms step — PERF.md
+    "trace + knockouts" — so neither form is a train bottleneck; at EVAL
+    shapes the bracketing sort is the dominant batch cost and the dense
+    pass's O(M*K) compute is still worse.)  The dense pass is
+    VPU-compute-bound with O(R) HBM traffic, which can win only when M*K
+    is small (train shapes: 766 x 1536 per ray; measured 0.87x — declined).
     """
     dt = cdf.dtype
     neg = jnp.asarray(-jnp.inf, dt)
