@@ -51,7 +51,8 @@ def main():
 
     cfg = TrainConfig(
         batch_size=BATCH,
-        model=ModelConfig(compute_dtype="bfloat16"),
+        model=ModelConfig(compute_dtype="bfloat16",
+                          fused_embed=os.environ.get("FUSED_EMBED", "auto")),
         render=RenderConfig(n_samples=768, n_importance=1536, perturb=1.0,
                             noise_std=0.0),
         loss=LossConfig(sub_nerf_count=15333),
@@ -98,6 +99,7 @@ def main():
         "n_samples": cfg.render.n_samples,
         "n_importance": cfg.render.n_importance,
         "dtype": cfg.model.compute_dtype,
+        "fused_embed": cfg.model.fused_embed,
         "step_ms": round(dt / STEPS * 1000, 2),
         "compile_s": round(compile_s, 1),
         "first_exec_s": round(first_exec_s, 1),

@@ -106,6 +106,22 @@ class ModelConfig:
     # 9 x (rays*samples, 256) activations in HBM.  Only relevant when the
     # collapse is off (negative_slope != 1); benchmarked in PERF.md.
     remat_mlp: bool = False
+    # Pallas fused-embedding collapse path (ops/pallas_train.py): computes
+    # the embedding's batch moments and the folded matvec in grid kernels
+    # that recompute E tile-wise in VMEM instead of materializing the
+    # (rays*samples, 63) embedding — the round-5 trace showed that
+    # materialization (+ its backward) is ~60% of the collapsed step.
+    # "auto" = on when the collapse is active, bands are logscale and the
+    # backend is real TPU; "on" forces it (interpret mode off-TPU; how the
+    # CPU tests exercise it); "off" = the round-4 XLA collapse path.
+    # Default "off": the published science rows (RESULTS.md) are measured
+    # on the XLA path and stay protocol-reproducible; bench.py and the
+    # perf harnesses opt in explicitly (FUSED_EMBED=auto).
+    # Tolerance note: sin/cos of the 2**k bands come from a double-angle
+    # recurrence re-seeded every SEED_EVERY bands — a documented
+    # tolerance-level deviation (~1e-4-class on high-band channels),
+    # bounded in tests/test_pallas_train.py and PERF.md.
+    fused_embed: str = "off"
 
     @property
     def in_channels(self) -> int:

@@ -90,13 +90,33 @@ def _occupancy_collapsed(model, origins, dirs, z_vals, mcfg: ModelConfig):
     return jax.nn.sigmoid(logits + b_eff.reshape(()))
 
 
+def _occupancy_collapsed_fused(model, origins, dirs, z_vals, mcfg: ModelConfig):
+    """Collapsed occupancy via the Pallas fused-embedding matvec
+    (``ops/pallas_train.py:embed_affine``): 5x fewer transcendentals than
+    the XLA band-wise form (the eval-frame profile's dominant occupancy
+    cost, PERF.md) via the power-of-two sin/cos recurrence."""
+    from pcnerf_tpu.ops import pallas_train as PT
+    w_eff, b_eff = model["w_eff"], model["b_eff"]
+    pts = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
+    r, s = z_vals.shape
+    x_t, n_valid = PT.pad_points_t(pts.reshape(r * s, 3))
+    rows = PT._rows(mcfg.n_freq)
+    d = w_eff.shape[0]
+    w_aug = jnp.zeros((rows, 1), jnp.float32)
+    w_aug = w_aug.at[:d, 0].set(w_eff[:, 0]).at[d, 0].set(b_eff.reshape(()))
+    logits = PT.embed_affine(x_t, w_aug, mcfg.n_freq)[0, :n_valid]
+    return jax.nn.sigmoid(logits).reshape(r, s)
+
+
 def _pass(folded, origins, dirs, z_vals, near_c, far_c, seg_id, n_groups,
           valid, kernel, mcfg, epsilon, method, ray_chunk, mlp_mode):
     """One coarse-or-fine pass: occupancy -> weights -> peak select -> depth.
 
     Returns (depth, weights, flag) — the ``inference_0525_2`` triple.
     """
-    if mlp_mode == "collapsed":
+    if mlp_mode == "collapsed_fused":
+        occ = _occupancy_collapsed_fused(folded, origins, dirs, z_vals, mcfg)
+    elif mlp_mode == "collapsed":
         occ = _occupancy_collapsed(folded, origins, dirs, z_vals, mcfg)
     elif mlp_mode == "pallas":
         from pcnerf_tpu.ops.pallas_kernels import fused_occupancy
@@ -240,8 +260,12 @@ def run_inference(eval_cfg: EvalConfig, folded_coarse, folded_fine,
         use_pallas = eval_cfg.use_pallas or not collapse_active(mcfg)
     if collapse_active(mcfg):
         # affine collapse beats any full-MLP evaluation (one fused
-        # elementwise pass per sample) — it wins over the pallas kernel too
-        mlp_mode = "collapsed"
+        # elementwise pass per sample) — it wins over the pallas kernel too.
+        # With ModelConfig.fused_embed on, the matvec itself runs as the
+        # Pallas recurrence kernel (5x fewer transcendentals).
+        from pcnerf_tpu.models import fused_embed_active
+        mlp_mode = ("collapsed_fused" if fused_embed_active(mcfg)
+                    else "collapsed")
         wc, bc = collapse_folded_params(folded_coarse, mcfg)
         wf, bf = collapse_folded_params(folded_fine, mcfg)
         folded_coarse = {"w_eff": wc, "b_eff": bc}

@@ -259,6 +259,33 @@ def _fold_layers(params, bn_apply, d_in: int, use_skip: bool, tp_axis):
     return w_eff, b_eff
 
 
+def _collapse_from_moments(params, bn_state, mu, sigma, n, cfg: ModelConfig,
+                           tp_axis):
+    """Derive (w_eff, b_eff, new_bn_state) from embedding batch moments.
+
+    Shared by the XLA and Pallas-fused collapsed train paths: every layer's
+    BN mean/var follows exactly from (mu, Sigma) of the embedding (see the
+    module note), so the fold is identical regardless of how the moments
+    were reduced.
+    """
+    eps, mom = cfg.bn_eps, cfg.bn_momentum
+    bessel = (n / max(n - 1, 1) if isinstance(n, int)
+              else n / jnp.maximum(n - 1.0, 1.0))
+    new_mean, new_var = [], []
+
+    def bn_apply(i, A, c):
+        m = mu @ A + c
+        v = jnp.maximum(jnp.sum(A * (sigma @ A), axis=0), 0.0)
+        new_mean.append((1 - mom) * bn_state["mean"][i] + mom * m)
+        new_var.append((1 - mom) * bn_state["var"][i] + mom * v * bessel)
+        g = jax.lax.rsqrt(v + eps) * params["layers"][i]["scale"]
+        return A * g[None, :], (c - m) * g + params["layers"][i]["bias"]
+
+    w_eff, b_eff = _fold_layers(params, bn_apply, mu.shape[0],
+                                cfg.use_skip, tp_axis)
+    return w_eff, b_eff, {"mean": new_mean, "var": new_var}
+
+
 def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
                               axis_name: str | None = None,
                               tp_axis: str | None = None):
@@ -269,7 +296,6 @@ def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
     generic path: the embedding moments are pmean-reduced, and every layer's
     derived mean/var then equals the sync-BN global statistic.
     """
-    eps, mom = cfg.bn_eps, cfg.bn_momentum
     xf = x.astype(jnp.float32)
     b_local = xf.shape[0]
     mu = xf.mean(axis=0)
@@ -287,22 +313,63 @@ def nof_apply_train_collapsed(params, bn_state, x, cfg: ModelConfig, *,
         n = b_local * jax.lax.psum(1, axis_name)
     else:
         n = b_local
-    bessel = n / max(n - 1, 1) if isinstance(n, int) else n / jnp.maximum(n - 1, 1)
-
-    new_mean, new_var = [], []
-
-    def bn_apply(i, A, c):
-        m = mu @ A + c
-        v = jnp.maximum(jnp.sum(A * (sigma @ A), axis=0), 0.0)
-        new_mean.append((1 - mom) * bn_state["mean"][i] + mom * m)
-        new_var.append((1 - mom) * bn_state["var"][i] + mom * v * bessel)
-        g = jax.lax.rsqrt(v + eps) * params["layers"][i]["scale"]
-        return A * g[None, :], (c - m) * g + params["layers"][i]["bias"]
-
-    w_eff, b_eff = _fold_layers(params, bn_apply, xf.shape[-1],
-                                cfg.use_skip, tp_axis)
+    w_eff, b_eff, new_bn = _collapse_from_moments(params, bn_state, mu, sigma,
+                                                  n, cfg, tp_axis)
     logits = _dot_exact(xf, w_eff) + b_eff
-    return jax.nn.sigmoid(logits)[..., 0], {"mean": new_mean, "var": new_var}
+    return jax.nn.sigmoid(logits)[..., 0], new_bn
+
+
+def fused_embed_active(cfg: ModelConfig) -> bool:
+    """Whether the Pallas fused-embedding collapse train path is on.
+
+    "auto" enables it when the collapse is active, bands are logscale
+    (the power-of-two recurrence requires 2**k frequencies) and we are on
+    real TPU hardware; "on" forces it anywhere (interpret mode off-TPU —
+    how the CPU tests and the multichip dryrun exercise it); "off" keeps
+    the XLA collapse path (the round-4 default)."""
+    if cfg.fused_embed == "off" or not collapse_active(cfg):
+        return False
+    if not cfg.logscale:
+        return False
+    if cfg.fused_embed == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def nof_apply_train_collapsed_fused(params, bn_state, flat_points,
+                                    cfg: ModelConfig, *,
+                                    axis_name: str | None = None,
+                                    tp_axis: str | None = None):
+    """Collapsed training forward from RAW sample coordinates (N, 3): the
+    (N, 63) embedding is never materialized — its moments and the final
+    matvec run as Pallas grid passes (``ops/pallas_train.py``); everything
+    else (fold, BN derivation, dp/tp collectives) is the exact
+    ``nof_apply_train_collapsed`` math on the kernel-reduced moments."""
+    from pcnerf_tpu.ops import pallas_train as PT
+    x_t, n_valid = PT.pad_points_t(flat_points)
+    mu, sigma, n = PT.embed_moments(x_t, cfg.n_freq, n_valid,
+                                    axis_name=axis_name)
+    w_eff, b_eff, new_bn = _collapse_from_moments(params, bn_state, mu, sigma,
+                                                  n, cfg, tp_axis)
+    rows = PT._rows(cfg.n_freq)
+    d = mu.shape[0]
+    w_aug = jnp.zeros((rows, 1), jnp.float32)
+    w_aug = w_aug.at[:d, 0].set(w_eff[:, 0]).at[d, 0].set(b_eff[0])
+    logits = PT.embed_affine(x_t, w_aug, cfg.n_freq)[0, :n_valid]
+    return jax.nn.sigmoid(logits), new_bn
+
+
+def nof_apply_collapsed_fused(w_eff, b_eff, flat_points, cfg: ModelConfig):
+    """Eval/val twin of the fused matvec: sigmoid(E(x) @ w_eff + b_eff)
+    without materializing E (same kernel as the train forward)."""
+    from pcnerf_tpu.ops import pallas_train as PT
+    x_t, n_valid = PT.pad_points_t(flat_points)
+    rows = PT._rows(cfg.n_freq)
+    d = w_eff.shape[0]
+    w_aug = jnp.zeros((rows, 1), jnp.float32)
+    w_aug = w_aug.at[:d, 0].set(w_eff[:, 0]).at[d, 0].set(b_eff[0])
+    logits = PT.embed_affine(x_t, w_aug, cfg.n_freq)[0, :n_valid]
+    return jax.nn.sigmoid(logits)
 
 
 def collapse_eval_params(params, bn_state, cfg: ModelConfig):

@@ -60,6 +60,17 @@ def _eval_occupancy(params, bn_state, points, mcfg: ModelConfig, *,
     """
     r, s, _ = points.shape
     flat = points.reshape(r * s, 3)
+    if train and M.fused_embed_active(mcfg):
+        # Pallas fused collapse: moments + matvec from raw coordinates,
+        # no (r*s, 63) embedding materialization (ops/pallas_train.py)
+        occ, new_bn = M.nof_apply_train_collapsed_fused(
+            params, bn_state, flat, mcfg, axis_name=axis_name,
+            tp_axis=tp_axis)
+        return occ.reshape(r, s), new_bn
+    if not train and M.fused_embed_active(mcfg):
+        w_eff, b_eff = M.collapse_eval_params(params, bn_state, mcfg)
+        occ = M.nof_apply_collapsed_fused(w_eff, b_eff, flat, mcfg)
+        return occ.reshape(r, s), bn_state
     emb = embed_positions(flat, mcfg.n_freq, mcfg.logscale)
     if train:
         apply_train = (M.nof_apply_train_collapsed if M.collapse_active(mcfg)
