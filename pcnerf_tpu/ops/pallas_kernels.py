@@ -24,13 +24,17 @@ shipped slope 1.0 the affine collapse supersedes this kernel, so its live
 role is the ``negative_slope != 1`` ("presumably-intended") network, where
 ``eval/engine.run_inference`` picks it by default.
 
-The TRAINING step stays on the XLA path deliberately: exact reference
-semantics make train-mode BatchNorm statistics a global-batch reduction
-between every pair of matmuls, so a cross-layer fused kernel is impossible
-without changing the math, and within a layer XLA already fuses the
-normalize/activation chain into the matmuls.  The remaining knob — trading
-HBM activation traffic for recompute — is ``ModelConfig.remat_mlp``
-(jax.checkpoint over the MLP apply), benchmarked in PERF.md.
+The GENERIC (slope != 1) training step stays on the XLA path deliberately:
+exact reference semantics make train-mode BatchNorm statistics a
+global-batch reduction between every pair of matmuls, so a cross-layer
+fused kernel is impossible without changing the math, and within a layer
+XLA already fuses the normalize/activation chain into the matmuls.  The
+remaining knob there — trading HBM activation traffic for recompute — is
+``ModelConfig.remat_mlp`` (jax.checkpoint over the MLP apply), benchmarked
+in PERF.md.  The COLLAPSED (slope-1 quirk) training step, whose cost is
+embedding materialization rather than matmuls, has its own fused kernels
+in ``ops/pallas_train.py`` (round 5): moments + matvec grid passes with a
+custom VJP, behind ``ModelConfig.fused_embed``.
 """
 
 from __future__ import annotations

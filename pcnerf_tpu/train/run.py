@@ -49,6 +49,11 @@ def main():
     p.add_argument("--lambda-opacity", type=float, default=None,
                    help="opacity regularizer weight (reference "
                         "render.py:224 term; 0 disables)")
+    p.add_argument("--fused-embed", default=None,
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused-embedding collapse path "
+                        "(ModelConfig.fused_embed; default off = the "
+                        "XLA collapse path the published rows use)")
     p.add_argument("--lr-milestones", type=int, nargs="*", default=None,
                    help="override MultiStepLR epoch milestones (reference "
                         "train_kitti.py:113 hardcodes [5,120,256]); pass "
@@ -59,6 +64,9 @@ def main():
     a = p.parse_args()
 
     cfg = PRESETS[a.preset](sparsity=a.sparsity, compute_dtype=a.dtype)
+    if a.fused_embed is not None:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, fused_embed=a.fused_embed))
     if a.art_dir:
         from pcnerf_tpu.presets import override_art_dir
         data = override_art_dir(cfg.data, a.art_dir)

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--method", type=int, default=2)
     p.add_argument("--sparsity", default="20")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--fused-embed", default=None,
+                   choices=["auto", "on", "off"],
+                   help="Pallas fused-embedding matvec for the collapsed "
+                        "occupancy passes (ModelConfig.fused_embed)")
     p.add_argument("--result-dir", default=None)
     p.add_argument("--art-dir", default=None,
                    help="evaluate against this preprocessing tree instead "
@@ -53,6 +57,9 @@ def main():
                                   data=override_art_dir(cfg.data, a.art_dir))
     if a.pallas:
         cfg = dataclasses.replace(cfg, use_pallas=True)
+    if a.fused_embed is not None:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, fused_embed=a.fused_embed))
     if a.rays_from:
         if a.result_dir is None:
             p.error("--rays-from requires --result-dir (outputs must not "

@@ -58,6 +58,11 @@ def main():
 
     cfg = kitti00_eval(method=2, sparsity="20")
     mcfg = cfg.model
+    # FUSED_EMBED=auto|on routes the occupancy matvec through the Pallas
+    # fused-embedding kernel (ops/pallas_train.py) for the A/B in PERF.md
+    mlp_mode = ("collapsed_fused"
+                if os.environ.get("FUSED_EMBED", "off") in ("auto", "on")
+                else "collapsed")
 
     frames = [j + 1 for j in range(cfg.data.data_start, cfg.data.data_end)
               if cfg.data.split.is_test_frame(j, cfg.data.data_start)]
@@ -132,7 +137,7 @@ def main():
                     jnp.asarray(valid), kernel, mcfg=mcfg,
                     n_samples=cfg.n_samples, n_importance=cfg.n_importance,
                     method=cfg.depth_inference_method,
-                    n_groups=rays_p.shape[0], mlp_mode="collapsed")
+                    n_groups=rays_p.shape[0], mlp_mode=mlp_mode)
                 outs.append(pts)
             for pts in outs:
                 np.asarray(pts)
@@ -164,7 +169,9 @@ def main():
 
     # occupancy passes alone at both shapes
     E.infer_batch.clear_cache()
-    occ = jax.jit(E._occupancy_collapsed, static_argnames=("mcfg",))
+    occ_impl = (E._occupancy_collapsed_fused if mlp_mode == "collapsed_fused"
+                else E._occupancy_collapsed)
+    occ = jax.jit(occ_impl, static_argnames=("mcfg",))
     rays_p = probe[0][0]
     o = jnp.asarray(rays_p[:, 0:3])
     d = jnp.asarray(rays_p[:, 3:6])
