@@ -160,3 +160,36 @@ def test_fused_render_step_dispatch():
     assert occ_on.shape == (16, 96)
     np.testing.assert_allclose(np.asarray(occ_on), np.asarray(occ_off),
                                atol=2e-3)
+
+
+def test_embed_moments_dp_psum():
+    """Sharded moments under shard_map(dp=2) equal the single-device global
+    moments: the pmean'd shift + psum'd augmented Gram reproduce sync-BN
+    statistics exactly (the dp contract of the fused path)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    n = 2 * PT.TILE
+    x = jnp.asarray(_coords(n, seed=9, scale=80.0))
+
+    def local(xs):
+        x_t, n_valid = PT.pad_points_t(xs)
+        return PT.embed_moments(x_t, 10, n_valid, axis_name="dp")
+
+    # check_vma=False matches the production shard_map step
+    # (parallel/sharded.py:87); pallas outputs carry no vma annotation
+    def shard_map(f, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    mu_s, sig_s, n_s = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=P("dp"), out_specs=P()))(x)
+
+    x_t, n_valid = PT.pad_points_t(x)
+    mu_g, sig_g, n_g = PT.embed_moments(x_t, 10, n_valid)
+    assert float(n_s) == float(n_g) == n
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_g), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig_s), np.asarray(sig_g),
+                               atol=1e-4, rtol=1e-4)
