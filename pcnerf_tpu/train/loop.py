@@ -115,6 +115,21 @@ def fit(cfg: TrainConfig, *, out_dir: Optional[str] = None,
                 and cfg.batch_size_val % n_dev == 0):
             from pcnerf_tpu.parallel import make_mesh
             mesh = make_mesh(n_dev, tp=1)
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # The fused-embedding pallas kernels are opaque to GSPMD: on a
+        # multi-device mesh the partitioner would gather the full batch
+        # around them, defeating dp.  The dp-correct fused form lives in
+        # the shard_map step (axis_name psum, tests/test_pallas_train.py);
+        # the GSPMD fit path forces the XLA collapse instead.
+        from pcnerf_tpu.models import fused_embed_active
+        if fused_embed_active(cfg.model):
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                     fused_embed="off"))
+            if verbose:
+                print("[fit] fused_embed disabled on the multi-device GSPMD "
+                      "mesh (shard_map path carries the fused kernels)",
+                      flush=True)
     # multi-process awareness: on a process-spanning mesh every process runs
     # this same fit() — compute is collective, host-side artifacts are split:
     # logs/DONE/timing are written by process 0 only, while orbax checkpoint
