@@ -63,7 +63,8 @@ def build_cfg(batch):
                                    TrainConfig)
     return TrainConfig(
         batch_size=batch,
-        model=ModelConfig(compute_dtype="bfloat16"),
+        model=ModelConfig(compute_dtype="bfloat16",
+                          fused_embed=os.environ.get("FUSED_EMBED", "off")),
         render=RenderConfig(n_samples=768, n_importance=1536, perturb=1.0,
                             noise_std=0.0),
         loss=LossConfig(sub_nerf_count=15333),
