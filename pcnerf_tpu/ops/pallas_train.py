@@ -61,7 +61,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 4096       # points per grid program (lane dim of every tile)
+import os
+
+# points per grid program (lane dim of every tile); env override for the
+# autotune sweep in logs_bg/bench_tile_*_r5.log
+TILE = int(os.environ.get("PCNERF_FUSED_TILE", "4096"))
 SEED_EVERY = 5    # fresh sin/cos seed every k bands (error amp <= 2**(k-1))
 
 
