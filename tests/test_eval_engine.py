@@ -94,3 +94,28 @@ def test_group_batcher_respects_groups():
         seen += n_real
     # the reference's loop skips a trailing single row (:1117); allow <= 1 lost
     assert rays.shape[0] - seen <= 1
+
+
+def test_occupancy_collapsed_fused_matches_xla():
+    """Eval-path fused matvec (mlp_mode='collapsed_fused') equals the XLA
+    band-wise collapsed occupancy (interpret-mode kernels on CPU)."""
+    from pcnerf_tpu.config import ModelConfig
+    from pcnerf_tpu.eval.engine import (_occupancy_collapsed,
+                                        _occupancy_collapsed_fused)
+    rng = np.random.default_rng(11)
+    R, S = 32, 160
+    origins = jnp.asarray(rng.uniform(-5, 5, (R, 3)).astype(np.float32))
+    dirs = rng.normal(size=(R, 3))
+    dirs = jnp.asarray((dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+                       .astype(np.float32))
+    z = jnp.asarray(np.sort(rng.uniform(0.5, 80, (R, S))
+                            .astype(np.float32), axis=1))
+    w = jnp.asarray((rng.normal(size=(63, 1)) * 0.05).astype(np.float32))
+    b = jnp.asarray(np.float32([0.2]))
+    model = {"w_eff": w, "b_eff": b}
+    mcfg = ModelConfig(fused_embed="on")
+    occ_f = _occupancy_collapsed_fused(model, origins, dirs, z, mcfg)
+    occ_x = _occupancy_collapsed(model, origins, dirs, z, mcfg)
+    assert occ_f.shape == (R, S)
+    np.testing.assert_allclose(np.asarray(occ_f), np.asarray(occ_x),
+                               atol=2e-3)
