@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-5 fourth tail — after regen_r5c.sh: fused-kernel TILE autotune
-# (full-step bench at TILE 2048/8192 vs the shipped 4096) and a final
-# fused bench repeat for the record.
+# Round-5 fourth tail — after regen_r5c.sh: retry the big-batch curve
+# points that hit the remote-compile hang (2048/4096, shorter timeouts),
+# then the fused-kernel TILE autotune.
 set -x
 cd /root/repo
 step() {
@@ -15,7 +15,10 @@ for i in $(seq 1 720); do
   grep -q 'r5c queue done' logs_bg/queue_r5c.log 2>/dev/null && break
   sleep 30
 done
-step bench_tile_2048_r5 timeout 3600 env FUSED_EMBED=auto PCNERF_FUSED_TILE=2048 python bench.py
-step bench_tile_8192_r5 timeout 3600 env FUSED_EMBED=auto PCNERF_FUSED_TILE=8192 python bench.py
-step bench_tile_4096_r5 timeout 1200 env FUSED_EMBED=auto python bench.py
+grep -q '"batch": 2048' logs_bg/bench_curve_r5.log 2>/dev/null || \
+step bench_curve_r5 timeout 1500 env FUSED_EMBED=auto BENCH_BATCH=2048 python bench.py
+grep -q '"batch": 4096' logs_bg/bench_curve_r5.log 2>/dev/null || \
+step bench_curve_r5 timeout 1500 env FUSED_EMBED=auto BENCH_BATCH=4096 python bench.py
+step bench_tile_2048_r5 timeout 1500 env FUSED_EMBED=auto PCNERF_FUSED_TILE=2048 python bench.py
+step bench_tile_8192_r5 timeout 1500 env FUSED_EMBED=auto PCNERF_FUSED_TILE=8192 python bench.py
 echo "=== r5d queue done $(date -u +%H:%M:%S)" >> logs_bg/queue_r5d.log
