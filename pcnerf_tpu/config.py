@@ -114,14 +114,14 @@ class ModelConfig:
     # "auto" = on when the collapse is active, bands are logscale and the
     # backend is real TPU; "on" forces it (interpret mode off-TPU; how the
     # CPU tests exercise it); "off" = the round-4 XLA collapse path.
-    # Default "off": the published science rows (RESULTS.md) are measured
-    # on the XLA path and stay protocol-reproducible; bench.py and the
-    # perf harnesses opt in explicitly (FUSED_EMBED=auto).
-    # Tolerance note: sin/cos of the 2**k bands come from a double-angle
-    # recurrence re-seeded every SEED_EVERY bands — a documented
-    # tolerance-level deviation (~1e-4-class on high-band channels),
-    # bounded in tests/test_pallas_train.py and PERF.md.
-    fused_embed: str = "off"
+    # Default "auto" since the end-to-end gate passed: a full KITTI 20%
+    # train+eval on the fused path reproduces the published XLA-path cell
+    # to the fourth decimal (CD 0.20616 vs 0.20619, F 0.89935 vs 0.89932 —
+    # logs_bg/eval_kitti_fused_r5.log) at 1.61x the step speed.  The
+    # published RESULTS.md rows were measured with "off" (noted there);
+    # kernels measured at XLA-f32 accuracy on hardware
+    # (logs_bg/fused_check_r5.log), bounds in tests/test_pallas_train.py.
+    fused_embed: str = "auto"
 
     @property
     def in_channels(self) -> int:
