@@ -90,15 +90,28 @@ def _occupancy_collapsed(model, origins, dirs, z_vals, mcfg: ModelConfig):
     return jax.nn.sigmoid(logits + b_eff.reshape(()))
 
 
+# Above this many sample points the fused path's (3, N) f32 coordinate
+# materialization (12 bytes/point, ~2 HBM copies live) stops paying:
+# KITTI two-step batches are 64.5M points (0.8 GB — fused, measured 1.21x
+# the XLA frame), MaiCity's 18432-row batches are 344M (4.1 GB, which
+# OOM'd a 15.75G chip alongside the sort chain's buffers —
+# logs_bg/eval_mai_s90_e1_r5.log).  The XLA band-wise form materializes
+# nothing, so it takes over at sizes where HBM is the binding constraint.
+FUSED_EVAL_MAX_POINTS = 100_000_000
+
+
 def _occupancy_collapsed_fused(model, origins, dirs, z_vals, mcfg: ModelConfig):
     """Collapsed occupancy via the Pallas fused-embedding matvec
     (``ops/pallas_train.py:embed_affine``): 5x fewer transcendentals than
     the XLA band-wise form (the eval-frame profile's dominant occupancy
-    cost, PERF.md) via the power-of-two sin/cos recurrence."""
+    cost, PERF.md) via the power-of-two sin/cos recurrence.  Falls back
+    to the XLA form above ``FUSED_EVAL_MAX_POINTS`` (static shape check)."""
+    r, s = z_vals.shape
+    if r * s > FUSED_EVAL_MAX_POINTS:
+        return _occupancy_collapsed(model, origins, dirs, z_vals, mcfg)
     from pcnerf_tpu.ops import pallas_train as PT
     w_eff, b_eff = model["w_eff"], model["b_eff"]
     pts = origins[:, None, :] + dirs[:, None, :] * z_vals[..., None]
-    r, s = z_vals.shape
     x_t, n_valid = PT.pad_points_t(pts.reshape(r * s, 3))
     rows = PT._rows(mcfg.n_freq)
     d = w_eff.shape[0]
