@@ -63,9 +63,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# points per grid program (lane dim of every tile); env override for the
-# autotune sweep in logs_bg/bench_tile_*_r5.log
-TILE = int(os.environ.get("PCNERF_FUSED_TILE", "4096"))
+# points per grid program (lane dim of every tile).  Autotuned on v5e at
+# the flagship step (logs_bg/bench_tile_*_r5.log): 2048 -> 18.89 ms,
+# 4096 -> 19.15, 8192 -> 19.32 — a flat optimum favoring the smaller
+# tile (better pipeline overlap; the kernels are compute-dense, so grid
+# overhead is negligible either way).  Env override for re-tuning.
+TILE = int(os.environ.get("PCNERF_FUSED_TILE", "2048"))
 SEED_EVERY = 5    # fresh sin/cos seed every k bands (error amp <= 2**(k-1))
 
 
